@@ -155,6 +155,9 @@ def tiny_config(vocab_size: int = 256, dec_window: int = 32,
         decoder=DecoderConfig(dim=64, layers=2, heads=4, kv_heads=2,
                               head_dim=16, hidden=128, window=dec_window,
                               vocab_size=vocab_size, ada_dim=8),
+        # n_special shrunk below the tiny vocab so text-token classification
+        # paths are exercised (full model: 1000 specials of 131072)
+        streaming=StreamingConfig(n_special=100),
         downsample=4,
         adapter_hidden=64,
     )

@@ -1,0 +1,529 @@
+"""Streaming engine: host-side driver around compile-once device programs.
+
+Re-designs the reference stream state machine (voxtral.c:457-1240) for TPU
+execution. The host does control flow and bookkeeping; ALL math runs in a
+small set of jitted programs whose shapes are drawn from fixed buckets so no
+streaming interval ever recompiles:
+
+- conv0/conv1 chunk programs (tail-carrying incremental conv stem,
+  voxtral.c:569-759 semantics — unified here: tails are zero-initialized so
+  the first chunk takes the same code path and simply discards the outputs
+  contaminated by the zero pad);
+- the ring-cache incremental encoder + adapter;
+- decoder prefill and the scan-based backlog decode (no per-token host sync,
+  unlike the reference's one command buffer per token).
+
+Watchdog/self-healing semantics (EOS restart, KV cap, non-text streak,
+no-decode timeout, decoder-reset vs full-reset escalation) mirror
+voxtral.c:410-420 and :1189-1239.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voxtral_tpu.audio.mel import MelStream
+from voxtral_tpu.config import VoxtralConfig
+from voxtral_tpu.models.adapter import adapter_forward
+from voxtral_tpu.models.decoder import (
+    ada_scales, decode_scan, decoder_prefill, init_decode_state,
+    time_conditioning,
+)
+from voxtral_tpu.models.encoder import encoder_incremental, init_encoder_state
+from voxtral_tpu.ops.conv import causal_conv1d
+
+# Shape buckets (mel frames per conv dispatch; decode steps per scan)
+MEL_BUCKETS = (64, 128, 256, 512)
+DECODE_BUCKETS = (8, 16, 32, 64, 128, 256, 512)
+FIRST_CHUNK_MIN_MEL = 312        # covers the 39-token prompt (voxtral.c:405)
+MAX_DECODE_KV = 2000             # forced-restart KV bound (voxtral.c:412)
+MAX_NON_TEXT_STREAK = 64
+MAX_NO_DECODE_SECONDS = 20
+EMPTY_RESTARTS_FOR_FULL_RESET = 2
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+@jax.jit
+def _conv0_chunk(w, b, x):
+    """x: [mel_bins, 2+M] (2-frame tail + new frames). Returns [enc_dim, M]:
+    causal conv + exact GELU, first 2 outputs (zero-pad contaminated) dropped."""
+    y = causal_conv1d(x, w, b, stride=1)
+    return jax.nn.gelu(y, approximate=False)[:, 2:]
+
+
+@jax.jit
+def _conv1_chunk(w, b, x):
+    """x: [enc_dim, 2+F] (2-frame tail + F fed outputs, F even). Returns
+    [enc_dim, F//2]: stride-2 causal conv + GELU, first output dropped."""
+    y = causal_conv1d(x, w, b, stride=2)
+    return jax.nn.gelu(y, approximate=False)[:, 1:]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _encoder_chunk(enc_params, cfg, state, h, n_valid):
+    return encoder_incremental(enc_params, cfg, state, h, n_valid)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _adapter_chunk(ada_params, cfg, x):
+    return adapter_forward(ada_params, cfg, x)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _prefill(dec_params, cfg, state, frames, prompt_ids, prev_token, t_ada):
+    embed = dec_params["embed"]
+    prefix = (frames.astype(jnp.float32)
+              + embed[prompt_ids].astype(jnp.float32))
+    state = decoder_prefill(dec_params, cfg, state, prefix[None], t_ada)
+    return state._replace(prev_token=jnp.asarray([prev_token], jnp.int32),
+                          done=jnp.zeros((1,), bool))
+
+
+_decode = jax.jit(decode_scan, static_argnames=("cfg", "collect_topk",
+                                                "stop_at_eos"))
+
+
+@dataclasses.dataclass
+class StreamConfig:
+    interval: float = 2.0            # seconds between encoder runs
+    delay_tokens: int = 6            # transcription delay (x80 ms)
+    continuous: bool = False         # live mode: watchdog auto-restarts
+    n_alt: int = 1                   # alternatives per token (1 = off)
+    alt_cutoff: float = 0.0
+    ring_size: int = 1280            # encoder KV ring (>= window + max chunk)
+    monitor: bool = False
+
+
+class VoxStream:
+    """One transcription stream. API mirrors voxtral.h:274-324:
+    feed() / flush() / finish() / get() / get_alt() / set_interval()."""
+
+    def __init__(self, params, cfg: VoxtralConfig, tokenizer=None,
+                 stream_cfg: StreamConfig | None = None):
+        self.params = params
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.sc = stream_cfg or StreamConfig()
+        sc = self.sc
+        st = cfg.streaming
+        self.prompt_ids = np.asarray(
+            [st.bos] + [st.streaming_pad] * (st.n_left_pad_tokens
+                                             + sc.delay_tokens), np.int32)
+        self.t_ada = ada_scales(
+            params["decoder"],
+            time_conditioning(sc.delay_tokens, cfg.decoder.dim))
+        self.min_new_mel = max(int(sc.interval * 100.0), 1)
+        self.real_samples_fed = 0
+        self.finished = False
+        # token queue: list of (token_id, piece, [(alt_id, alt_piece), ...])
+        self.queue: list = []
+        # stats
+        self.n_generated = 0
+        self.n_text_tokens = 0
+        self.encoder_s = 0.0
+        self.decoder_s = 0.0
+        self.prefill_s = 0.0
+        self.monitor_log: list[str] = []
+        self._init_audio_state()
+        self._init_decoder_state()
+
+    # -- state management ---------------------------------------------------
+
+    def _init_audio_state(self):
+        cfg = self.cfg
+        mult = cfg.audio.raw_audio_per_token
+        self.mel = MelStream(
+            left_pad_samples=cfg.streaming.n_left_pad_tokens * mult,
+            cfg=cfg.audio)
+        self.mel_cursor = 0
+        self.conv_initialized = False
+        self.mel_tail = np.zeros((cfg.audio.mel_bins, 2), np.float32)
+        self.conv0_tail = jnp.zeros((cfg.encoder.dim, 2), cfg.compute_dtype)
+        self.conv0_residual = None        # [enc_dim, 1] device array or None
+        self.enc_state = init_encoder_state(cfg, ring_size=self.sc.ring_size)
+        self.enc_residual: list = []      # device arrays, total rows <= 3
+        self.enc_residual_rows = 0
+
+    def _init_decoder_state(self):
+        self.decode_state = init_decode_state(self.cfg, batch=1)
+        self.backlog: list = []           # device arrays [n_i, dec_dim]
+        self.backlog_rows = 0
+        self.decoder_started = False
+        self.eos_seen = False
+        self.kv_len = 0
+        self.nontext_streak = 0
+        self.text_since_restart = False
+        self.empty_restarts = 0
+        self.last_decode_sample = self.real_samples_fed
+
+    def _reset_decoder(self):
+        """Hard decoder reset (voxtral.c:778-794): drop backlog + context.
+        Ring contents stay — pos := 0 masks them out."""
+        from voxtral_tpu.models.decoder import reset_streams
+        self.decode_state = reset_streams(
+            self.decode_state, jnp.asarray([True]), self.cfg.streaming.bos)
+        self.backlog = []
+        self.backlog_rows = 0
+        self.decoder_started = False
+        self.eos_seen = False
+        self.kv_len = 0
+        self.nontext_streak = 0
+        self.text_since_restart = False
+
+    def _reset_full(self):
+        """Full stream reset (voxtral.c:797-824): mel/conv/encoder/decoder."""
+        self._init_audio_state()
+        self._reset_decoder()
+        self.empty_restarts = 0
+
+    # -- public API ---------------------------------------------------------
+
+    def set_interval(self, seconds: float):
+        self.min_new_mel = max(int(seconds * 100.0), 1)
+
+    def feed(self, samples: np.ndarray):
+        if self.finished:
+            raise RuntimeError("stream already finished")
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        if samples.size == 0:
+            return
+        self.mel.feed(samples)
+        self.real_samples_fed += samples.size
+        self._run_encoder()
+        self._run_decoder()
+
+    def flush(self):
+        """Push right padding so delayed tokens drain; stream stays open
+        (voxtral.c:1640-1667)."""
+        if self.finished:
+            return
+        mult = self.cfg.audio.raw_audio_per_token
+        align = (mult - (self.real_samples_fed % mult)) % mult
+        right = align + self.cfg.streaming.n_right_pad_tokens * mult
+        # fed directly to the mel context: flush padding is not "real" audio
+        self.mel.feed(np.zeros(right, np.float32))
+        saved = self.min_new_mel
+        self.min_new_mel = 1
+        self._run_encoder()
+        self._run_decoder()
+        self.min_new_mel = saved
+
+    def finish(self):
+        if self.finished:
+            return
+        self.flush()
+        self.finished = True
+        self.mel.finish()
+        saved = self.min_new_mel
+        self.min_new_mel = 1
+        self._run_encoder()
+        self._run_decoder()
+        self.min_new_mel = saved
+
+    def get(self, max_tokens: int = 1 << 30) -> list[str]:
+        """Drain best-token pieces (text tokens only, like vox_stream_get)."""
+        out = []
+        while self.queue and len(out) < max_tokens:
+            tid, piece, _ = self.queue.pop(0)
+            out.append(piece)
+        return out
+
+    def get_alt(self, max_tokens: int = 1 << 30):
+        """Drain (piece, [alt pieces]) tuples."""
+        out = []
+        while self.queue and len(out) < max_tokens:
+            tid, piece, alts = self.queue.pop(0)
+            out.append((piece, [p for _, p in alts]))
+        return out
+
+    def get_ids(self, max_tokens: int = 1 << 30) -> list[int]:
+        out = []
+        while self.queue and len(out) < max_tokens:
+            tid, piece, _ = self.queue.pop(0)
+            out.append(tid)
+        return out
+
+    # -- encoder side -------------------------------------------------------
+
+    def _run_encoder(self):
+        total_mel = self.mel.frame_offset + self.mel.n_frames
+        new_mel = total_mel - self.mel_cursor
+        need = (FIRST_CHUNK_MIN_MEL if not self.conv_initialized
+                else self.min_new_mel)
+        if new_mel < need and not self.finished:
+            return
+        if new_mel <= 0:
+            return
+        t0 = time.perf_counter()
+        frames = self.mel.frames()
+        start = self.mel_cursor - self.mel.frame_offset
+        pos = start
+        while pos < start + new_mel:
+            m = min(start + new_mel - pos, MEL_BUCKETS[-1])
+            self._encode_slice(frames[pos:pos + m])
+            pos += m
+        self.mel_cursor = total_mel
+        self.mel.discard_before(self.mel_cursor)
+        self.encoder_s += time.perf_counter() - t0
+        self._mon("▶")
+
+    def _encode_slice(self, mel_slice: np.ndarray):
+        """Run one <=512-frame slice through conv stem + encoder + adapter."""
+        cfg = self.cfg
+        self.conv_initialized = True
+        m = mel_slice.shape[0]
+        mb = _bucket(m, MEL_BUCKETS)
+        # conv0: [mel_bins, 2 + mb] with tail prepended, zero pad to bucket
+        x = np.zeros((cfg.audio.mel_bins, 2 + mb), np.float32)
+        x[:, :2] = self.mel_tail
+        x[:, 2:2 + m] = mel_slice.T
+        y = _conv0_chunk(self.params["encoder"]["conv0_w"],
+                         self.params["encoder"]["conv0_b"],
+                         jnp.asarray(x))[:, :m]            # [enc_dim, m]
+        # update mel tail (last 2 valid frames; shift if m == 1)
+        if m >= 2:
+            self.mel_tail = mel_slice[-2:].T
+        else:
+            self.mel_tail = np.concatenate(
+                [self.mel_tail[:, 1:], mel_slice.T], axis=1)
+
+        # stride-parity alignment for conv1 (even feed count)
+        prev_res = 0 if self.conv0_residual is None else 1
+        total = prev_res + m
+        new_res = total & 1
+        feed_from_new = m - new_res
+        parts = []
+        if prev_res:
+            parts.append(self.conv0_residual)
+        if feed_from_new > 0:
+            parts.append(y[:, :feed_from_new])
+        self.conv0_residual = y[:, m - 1:m] if new_res else None
+        feed_total = prev_res + feed_from_new
+        if feed_total <= 0:
+            return
+        feed = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+
+        fb = _bucket(feed_total, MEL_BUCKETS)
+        x1 = jnp.zeros((cfg.encoder.dim, 2 + fb), feed.dtype)
+        x1 = x1.at[:, :2].set(self.conv0_tail)
+        x1 = x1.at[:, 2:2 + feed_total].set(feed)
+        self.conv0_tail = feed[:, -2:]
+        c = _conv1_chunk(self.params["encoder"]["conv1_w"],
+                         self.params["encoder"]["conv1_b"],
+                         x1)[:, :feed_total // 2]
+        h = c.T                                             # [S, enc_dim]
+        s = feed_total // 2
+
+        # incremental encoder (bucketed, masked)
+        sb = _bucket(s, MEL_BUCKETS)
+        h_pad = jnp.zeros((sb, cfg.encoder.dim), cfg.compute_dtype)
+        h_pad = h_pad.at[:s].set(h.astype(cfg.compute_dtype))
+        self.enc_state, enc_out = _encoder_chunk(
+            self.params["encoder"], cfg, self.enc_state, h_pad,
+            jnp.asarray(s, jnp.int32))
+        enc_out = enc_out[:s]
+
+        # 4x-downsample alignment with residual carry (voxtral.c:869-934)
+        total_enc = self.enc_residual_rows + s
+        usable = (total_enc // cfg.downsample) * cfg.downsample
+        if usable > 0:
+            pieces = list(self.enc_residual)
+            take_new = usable - self.enc_residual_rows
+            pieces.append(enc_out[:take_new])
+            combined = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces)
+            ab = _bucket(usable, MEL_BUCKETS)
+            cpad = jnp.zeros((ab, cfg.encoder.dim), combined.dtype)
+            cpad = cpad.at[:usable].set(combined)
+            adapter = _adapter_chunk(self.params["adapter"], cfg, cpad)
+            adapter = adapter[:usable // cfg.downsample]
+            self.backlog.append(adapter)
+            self.backlog_rows += usable // cfg.downsample
+            leftover = total_enc - usable
+            self.enc_residual = [enc_out[take_new:s]] if leftover else []
+            self.enc_residual_rows = leftover
+        else:
+            self.enc_residual.append(enc_out)
+            self.enc_residual_rows = total_enc
+
+    # -- decoder side -------------------------------------------------------
+
+    def _take_backlog(self, n: int):
+        """Pop the first n adapter frames from the backlog (device concat)."""
+        out, got = [], 0
+        while got < n:
+            head = self.backlog[0]
+            need = n - got
+            if head.shape[0] <= need:
+                out.append(head)
+                got += head.shape[0]
+                self.backlog.pop(0)
+            else:
+                out.append(head[:need])
+                self.backlog[0] = head[need:]
+                got += need
+        self.backlog_rows -= n
+        return out[0] if len(out) == 1 else jnp.concatenate(out)
+
+    def _run_decoder(self):
+        cfg = self.cfg
+        lp = len(self.prompt_ids)
+        if not self.decoder_started:
+            if self.backlog_rows < lp:
+                return
+            t0 = time.perf_counter()
+            frames = self._take_backlog(lp - 1)
+            self.decode_state = _prefill(
+                self.params["decoder"], cfg, self.decode_state, frames,
+                jnp.asarray(self.prompt_ids[:lp - 1]),
+                int(self.prompt_ids[lp - 1]), self.t_ada)
+            self.decoder_started = True
+            self.kv_len = lp - 1
+            dt = time.perf_counter() - t0
+            self.prefill_s += dt
+            self.decoder_s += dt
+            self._mon("·")
+
+        if self.decoder_started and not self.eos_seen and self.backlog_rows > 0:
+            t0 = time.perf_counter()
+            while self.backlog_rows > 0 and not self.eos_seen:
+                n = min(self.backlog_rows, DECODE_BUCKETS[-1])
+                nb = _bucket(n, DECODE_BUCKETS)
+                frames = self._take_backlog(n)
+                fpad = jnp.zeros((nb, cfg.decoder.dim), frames.dtype)
+                fpad = fpad.at[:n].set(frames)
+                topk = 8 if self.sc.n_alt > 1 else 0
+                self.decode_state, tokens, aux = _decode(
+                    self.params["decoder"], cfg, self.decode_state,
+                    fpad[None], jnp.asarray([n], jnp.int32), self.t_ada,
+                    collect_topk=topk, stop_at_eos=True)
+                toks = np.asarray(jax.device_get(tokens[0]))[:n]
+                if topk:
+                    tvals = np.asarray(jax.device_get(aux["topk_vals"][0]))[:n]
+                    tidx = np.asarray(jax.device_get(aux["topk_idx"][0]))[:n]
+                self.last_decode_sample = self.real_samples_fed
+                for i, t in enumerate(toks):
+                    if t < 0:
+                        break
+                    t = int(t)
+                    self.n_generated += 1
+                    self.kv_len += 1
+                    if t == cfg.streaming.eos:
+                        self.eos_seen = True
+                        break
+                    self._emit(t, tvals[i] if topk else None,
+                               tidx[i] if topk else None)
+            self.decoder_s += time.perf_counter() - t0
+
+        self._watchdog()
+
+    def _classify(self, token_id: int) -> str:
+        st = self.cfg.streaming
+        if token_id == st.eos:
+            return "eos"
+        if token_id < st.n_special:
+            return "control"
+        if self.tok is not None:
+            piece = self.tok.decode_piece(token_id)
+            return "text" if piece else "invalid"
+        return "text"
+
+    def _emit(self, token_id: int, topk_vals, topk_idx):
+        cls = self._classify(token_id)
+        if cls == "text":
+            piece = (self.tok.decode_piece(token_id) if self.tok
+                     else f"<{token_id}>")
+            alts = []
+            if topk_vals is not None and self.sc.n_alt > 1:
+                best_logit = None
+                for v, j in zip(topk_vals, topk_idx):
+                    if int(j) == token_id:
+                        best_logit = float(v)
+                        break
+                if best_logit is not None:
+                    order = np.argsort(-topk_vals)
+                    for oi in order:
+                        j = int(topk_idx[oi])
+                        if j == token_id or j < self.cfg.streaming.n_special:
+                            continue
+                        r = 1.0 - math.exp(float(topk_vals[oi]) - best_logit)
+                        if r > self.sc.alt_cutoff:
+                            break
+                        p = (self.tok.decode_piece(j) if self.tok else f"<{j}>")
+                        if p:
+                            alts.append((j, p))
+                        if len(alts) >= self.sc.n_alt - 1:
+                            break
+            self.queue.append((token_id, piece, alts))
+            self.n_text_tokens += 1
+            self.text_since_restart = True
+            self.empty_restarts = 0
+            self.nontext_streak = 0
+        else:
+            self.nontext_streak += 1
+
+    def _watchdog(self):
+        """Liveness restarts for continuous streams (voxtral.c:1189-1239)."""
+        if not self.sc.continuous:
+            return
+        sr = self.cfg.audio.sample_rate
+        need = 0
+        if self.eos_seen:
+            need = 1
+        elif self.decoder_started and self.kv_len > MAX_DECODE_KV:
+            need = 2
+        elif self.decoder_started and self.nontext_streak >= MAX_NON_TEXT_STREAK:
+            need = 3
+        elif (not self.finished and
+              (self.real_samples_fed - self.last_decode_sample)
+              >= MAX_NO_DECODE_SECONDS * sr):
+            need = 4
+        if not need:
+            return
+        if self.text_since_restart:
+            self.empty_restarts = 0
+        else:
+            self.empty_restarts += 1
+        full = need >= 2 or self.empty_restarts >= EMPTY_RESTARTS_FOR_FULL_RESET
+        self._mon({1: "↺", 2: "⟳", 3: "↯", 4: "⌚"}[need]
+                  + ("♻" if full else "✂"))
+        if full:
+            self._reset_full()
+        else:
+            self._reset_decoder()
+        self.last_decode_sample = self.real_samples_fed
+
+    def _mon(self, sym: str):
+        if self.sc.monitor:
+            import sys
+            sys.stderr.write(sym)
+            sys.stderr.flush()
+        self.monitor_log.append(sym)
+
+    # -- stats --------------------------------------------------------------
+
+    def stats(self) -> dict:
+        gen_s = self.decoder_s - self.prefill_s
+        steps = max(self.n_generated - 1, 1)
+        return {
+            "mel_frames": self.mel_cursor,
+            "text_tokens": self.n_text_tokens,
+            "generated": self.n_generated,
+            "encoder_ms": self.encoder_s * 1e3,
+            "decoder_ms": self.decoder_s * 1e3,
+            "prefill_ms": self.prefill_s * 1e3,
+            "ms_per_step": gen_s * 1e3 / steps,
+            "audio_s": self.real_samples_fed / self.cfg.audio.sample_rate,
+        }
