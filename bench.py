@@ -1,0 +1,118 @@
+#!/usr/bin/env python3
+"""Benchmark: streaming transcription throughput on one TPU chip.
+
+Headline metric (BASELINE.json): audio-seconds processed per second per chip.
+The reference engine's headline is ~2.5x real-time on an M3 Max
+(README.md:328, RTF 0.3998 SPEED.md:8-18); vs_baseline is measured against
+that 2.5 audio-s/s.
+
+Model: flagship Voxtral Realtime 4B shapes, bf16 weights (randomly
+initialized on device — throughput is weight-value independent), B
+concurrent streams decoding in lockstep through the fleet step. Also reports
+single-stream RTF and per-token decode latency on stderr.
+
+Output: ONE JSON line on stdout.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from voxtral_tpu.config import voxtral_4b
+from voxtral_tpu.models.decoder import ada_scales, time_conditioning
+from voxtral_tpu.runtime.fleet import fleet_bootstrap, fleet_step, init_fleet_state
+from voxtral_tpu.weights import random_params_device
+
+BASELINE_AUDIO_S_PER_S = 2.5   # reference headline (README.md:328)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench_fleet(params, cfg, t_ada, batch, chunk_mel, enc_ring, dec_ring,
+                warmup=2, iters=8):
+    state = init_fleet_state(cfg, batch=batch, enc_ring=enc_ring,
+                             dec_ring=dec_ring)
+    rng = np.random.RandomState(0)
+    mel0 = jnp.asarray(rng.rand(batch, cfg.audio.mel_bins, 320)
+                       .astype(np.float32))
+    mel = jnp.asarray(rng.rand(batch, cfg.audio.mel_bins, chunk_mel)
+                      .astype(np.float32))
+    t0 = time.perf_counter()
+    state, tokens, _ = fleet_bootstrap(params, cfg, state, mel0, t_ada)
+    jax.block_until_ready(tokens)
+    log(f"  bootstrap+compile: {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    for _ in range(warmup):
+        state, tokens, _ = fleet_step(params, cfg, state, mel, t_ada)
+    jax.block_until_ready(tokens)
+    log(f"  warmup ({warmup} steps): {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, tokens, _ = fleet_step(params, cfg, state, mel, t_ada)
+    jax.block_until_ready(tokens)
+    dt = time.perf_counter() - t0
+    audio_s = batch * (chunk_mel / 100.0) * iters
+    step_ms = dt / iters * 1e3
+    tokens_per_step = batch * chunk_mel // 8
+    return {
+        "audio_s_per_s": audio_s / dt,
+        "step_ms": step_ms,
+        "ms_per_token": step_ms / tokens_per_step,
+    }
+
+
+def main():
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+    cfg = voxtral_4b(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    log("initializing 4B random params on device (bf16)...")
+    t0 = time.perf_counter()
+    params = random_params_device(cfg, seed=0)
+    jax.block_until_ready(params)
+    log(f"  params ready in {time.perf_counter() - t0:.1f}s")
+    t_ada = ada_scales(params["decoder"],
+                       time_conditioning(cfg.streaming.delay_tokens,
+                                         cfg.decoder.dim))
+
+    batch = int(os.environ.get("VOX_BENCH_STREAMS", "8"))
+    chunk_mel = int(os.environ.get("VOX_BENCH_CHUNK_MEL", "160"))
+
+    log(f"fleet: {batch} streams x {chunk_mel/100:.1f}s chunks "
+        f"(dec ring 2048, enc ring 1024)")
+    fleet = bench_fleet(params, cfg, t_ada, batch, chunk_mel,
+                        enc_ring=1024, dec_ring=2048)
+    log(f"  {fleet['audio_s_per_s']:.1f} audio-s/s | step {fleet['step_ms']:.1f} ms "
+        f"| {fleet['ms_per_token']:.2f} ms/token (batched)")
+
+    log("single stream (B=1):")
+    single = bench_fleet(params, cfg, t_ada, 1, chunk_mel,
+                         enc_ring=1024, dec_ring=2048, warmup=2, iters=6)
+    log(f"  {single['audio_s_per_s']:.1f} audio-s/s | "
+        f"{single['ms_per_token']:.2f} ms/token")
+
+    value = fleet["audio_s_per_s"]
+    print(json.dumps({
+        "metric": f"audio_seconds_per_second_per_chip_{batch}streams",
+        "value": round(value, 2),
+        "unit": "audio_s/s",
+        "vs_baseline": round(value / BASELINE_AUDIO_S_PER_S, 2),
+        "extra": {
+            "single_stream_audio_s_per_s": round(single["audio_s_per_s"], 2),
+            "batched_ms_per_token": round(fleet["ms_per_token"], 3),
+            "single_ms_per_token": round(single["ms_per_token"], 3),
+            "streams": batch,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

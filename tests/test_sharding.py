@@ -1,0 +1,116 @@
+"""Multi-chip sharding + fleet path: TP+DP fleet step on the virtual
+8-device CPU mesh must produce the SAME tokens as unsharded execution, and
+the lockstep fleet pipeline must agree with the general streaming engine."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from voxtral_tpu.config import (
+    DecoderConfig, EncoderConfig, StreamingConfig, VoxtralConfig,
+)
+from voxtral_tpu.models.decoder import ada_scales, time_conditioning
+from voxtral_tpu.parallel.sharding import (
+    fleet_state_pspecs, make_mesh, shard_params, shard_tree,
+)
+from voxtral_tpu.runtime.fleet import (
+    fleet_bootstrap, fleet_step, init_fleet_state,
+)
+from voxtral_tpu.weights import random_params
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    return VoxtralConfig(
+        encoder=EncoderConfig(dim=128, layers=2, heads=8, head_dim=32,
+                              hidden=256, window=64),
+        decoder=DecoderConfig(dim=256, layers=2, heads=8, kv_heads=8,
+                              head_dim=32, hidden=512, window=128,
+                              vocab_size=2048, ada_dim=8),
+        streaming=StreamingConfig(n_special=100),
+        downsample=4, adapter_hidden=256)
+
+
+@pytest.fixture(scope="module")
+def small_params(small_cfg):
+    return random_params(small_cfg, seed=5)
+
+
+def _t_ada(cfg, params):
+    return ada_scales(params["decoder"],
+                      time_conditioning(cfg.streaming.delay_tokens,
+                                        cfg.decoder.dim))
+
+
+def _run_fleet(cfg, params, state, mel_first, mel_chunks, t_ada):
+    state, toks0, _ = fleet_bootstrap(params, cfg, state, mel_first, t_ada)
+    toks = [np.asarray(toks0)]
+    for mel in mel_chunks:
+        state, t, _ = fleet_step(params, cfg, state, mel, t_ada)
+        toks.append(np.asarray(t))
+    return np.concatenate(toks, axis=1)
+
+
+def test_tp_dp_fleet_matches_single_device(small_cfg, small_params):
+    cfg, params = small_cfg, small_params
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    t_ada = _t_ada(cfg, params)
+    rng = np.random.RandomState(0)
+    b = 4
+    mel_first = jnp.asarray(
+        rng.rand(b, cfg.audio.mel_bins, 320).astype(np.float32))
+    mel_chunks = [jnp.asarray(rng.rand(b, cfg.audio.mel_bins, 64)
+                              .astype(np.float32)) for _ in range(3)]
+
+    state0 = init_fleet_state(cfg, batch=b, enc_ring=512, dec_ring=128)
+    ref_tokens = _run_fleet(cfg, params, state0, mel_first, mel_chunks, t_ada)
+
+    mesh = make_mesh(2, 4)
+    sp = shard_params(params, cfg, mesh)
+    st = shard_tree(init_fleet_state(cfg, batch=b, enc_ring=512, dec_ring=128),
+                    fleet_state_pspecs(cfg), mesh)
+    tp_tokens = _run_fleet(cfg, sp, st, mel_first, mel_chunks, t_ada)
+    np.testing.assert_array_equal(ref_tokens, tp_tokens)
+
+
+def test_fleet_matches_streaming_engine(small_cfg, small_params):
+    """Lockstep fleet pipeline on real audio == the general VoxStream."""
+    from voxtral_tpu.audio.mel import MelStream
+    from voxtral_tpu.runtime import StreamConfig, VoxStream
+    cfg, params = small_cfg, small_params
+    t_ada = _t_ada(cfg, params)
+    rng = np.random.RandomState(1)
+    audio = (rng.randn(5 * 16000) * 0.3).astype(np.float32)
+
+    s = VoxStream(params, cfg, stream_cfg=StreamConfig(interval=0.64))
+    s.feed(audio)
+    s.finish()
+    stream_ids = s.get_ids()                  # text tokens only
+
+    mult = cfg.audio.raw_audio_per_token
+    ms = MelStream(left_pad_samples=cfg.streaming.n_left_pad_tokens * mult)
+    ms.feed(audio)
+    align = (mult - (len(audio) % mult)) % mult
+    ms.feed(np.zeros(align + cfg.streaming.n_right_pad_tokens * mult,
+                     np.float32))
+    ms.finish()
+    mel = ms.frames()                          # [F, 128]
+
+    t0, t = 320, 64
+    state = init_fleet_state(cfg, batch=1, enc_ring=512, dec_ring=128)
+    state, toks0, _ = fleet_bootstrap(
+        params, cfg, state, jnp.asarray(mel[:t0].T[None]), t_ada)
+    toks = [np.asarray(toks0[0])]
+    pos = t0
+    while pos + t <= mel.shape[0]:
+        state, tk, _ = fleet_step(params, cfg, state,
+                                  jnp.asarray(mel[pos:pos + t].T[None]), t_ada)
+        toks.append(np.asarray(tk[0]))
+        pos += t
+    fleet_ids = [int(x) for x in np.concatenate(toks)
+                 if x >= cfg.streaming.n_special]
+    # fleet covers floor(F/64) chunks; stream covers all mel -> prefix match
+    assert len(fleet_ids) > 10
+    assert fleet_ids == stream_ids[:len(fleet_ids)]

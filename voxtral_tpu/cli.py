@@ -1,0 +1,214 @@
+"""Command-line interface, mirroring the reference CLI (main.c:27-43):
+
+  python -m voxtral_tpu.cli -d MODEL_DIR (-i file.wav | --stdin) [options]
+
+  -d DIR        model dir with consolidated.safetensors + tekken.json
+  -i FILE.wav   transcribe a WAV file (fed through the streaming engine in
+                <=1 s chunks, like main.c:107-119)
+  --stdin       stream raw PCM s16le 16 kHz mono from stdin (WAV header
+                auto-detected and skipped, main.c:304-381)
+  --batch       one-shot batch pipeline instead of the streaming engine
+  -I SECONDS    processing interval (default 2.0)
+  --delay MS    transcription delay 80..2400 ms (default 480)
+  --alt CUTOFF  report up to 4 alternative tokens within CUTOFF
+  --continuous  live mode: watchdog auto-restarts (implied by --stdin)
+  --monitor     live pipeline symbols on stderr
+  --debug / --silent   verbosity
+  --parity      f32 compute (bit-parity mode) instead of bf16
+  --random-init SEED   synthetic random weights (no model dir needed);
+                combine with --tiny for the miniature config
+
+Transcription text goes to stdout (streamed); everything else to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import struct
+import sys
+import time
+
+import numpy as np
+
+
+def log(args, level, msg):
+    if args.verbosity >= level:
+        print(msg, file=sys.stderr, flush=True)
+
+
+def drain(stream, args, out=sys.stdout):
+    """Print pending tokens; alt format `[best|alt1|alt2]` (main.c:49-105)."""
+    if args.alt is not None:
+        for piece, alts in stream.get_alt():
+            if alts:
+                out.write("[" + "|".join([piece] + alts) + "]")
+            else:
+                out.write(piece)
+    else:
+        for piece in stream.get():
+            out.write(piece)
+    out.flush()
+
+
+def build(args):
+    import jax.numpy as jnp
+    from voxtral_tpu.config import tiny_config, voxtral_4b
+    from voxtral_tpu.tokenizer import Tokenizer
+
+    if args.parity:
+        import jax
+        jax.config.update("jax_default_matmul_precision", "highest")
+        dtype = jnp.float32
+    else:
+        dtype = jnp.bfloat16
+
+    if args.tiny:
+        cfg = tiny_config()
+        cfg = cfg.with_dtype(jnp.float32 if args.parity else jnp.float32)
+    else:
+        cfg = voxtral_4b(param_dtype=dtype, compute_dtype=dtype)
+
+    tokenizer = None
+    if args.model_dir:
+        tok_path = os.path.join(args.model_dir, "tekken.json")
+        if os.path.exists(tok_path):
+            t0 = time.time()
+            tokenizer = Tokenizer(tok_path)
+            log(args, 2, f"tokenizer loaded in {time.time()-t0:.1f}s "
+                f"({tokenizer.vocab_size} tokens)")
+
+    t0 = time.time()
+    if args.random_init is not None:
+        from voxtral_tpu.weights import random_params, random_params_device
+        if args.tiny:
+            params = random_params(cfg, seed=args.random_init)
+        else:
+            params = random_params_device(cfg, seed=args.random_init)
+        log(args, 1, f"random params initialized in {time.time()-t0:.1f}s")
+    else:
+        from voxtral_tpu.weights import load_params
+        path = os.path.join(args.model_dir, "consolidated.safetensors")
+        params = load_params(path, cfg)
+        log(args, 1, f"model loaded in {time.time()-t0:.1f}s")
+    return params, cfg, tokenizer
+
+
+def run_file(args, params, cfg, tokenizer):
+    from voxtral_tpu.audio import load_wav
+    from voxtral_tpu.runtime import StreamConfig, VoxStream
+
+    audio = load_wav(args.input, cfg.audio.sample_rate)
+    log(args, 1, f"audio: {len(audio)/cfg.audio.sample_rate:.1f}s")
+
+    if args.batch:
+        from voxtral_tpu.models import transcribe_tokens_batch
+        t0 = time.time()
+        tokens, _ = transcribe_tokens_batch(params, cfg, audio,
+                                            delay_tokens=args.delay // 80)
+        dt = time.time() - t0
+        text = tokenizer.decode(tokens).strip() if tokenizer else str(tokens)
+        print(text)
+        log(args, 1, f"batch: {len(tokens)} tokens in {dt:.2f}s "
+            f"(RTF {dt/(len(audio)/16000):.3f})")
+        return
+
+    s = VoxStream(params, cfg, tokenizer=tokenizer, stream_cfg=StreamConfig(
+        interval=args.interval, delay_tokens=args.delay // 80,
+        continuous=args.continuous, monitor=args.monitor,
+        n_alt=4 if args.alt is not None else 1,
+        alt_cutoff=args.alt if args.alt is not None else 0.0))
+    sr = cfg.audio.sample_rate
+    t0 = time.time()
+    for i in range(0, len(audio), sr):            # <=1 s chunks
+        s.feed(audio[i:i + sr])
+        drain(s, args)
+    s.finish()
+    drain(s, args)
+    print(flush=True)
+    st = s.stats()
+    dt = time.time() - t0
+    log(args, 1, f"Encoder: {st['mel_frames']} mel -> "
+        f"{st['generated']} steps ({st['encoder_ms']:.0f} ms)")
+    log(args, 1, f"Decoder: {st['text_tokens']} text tokens "
+        f"({st['generated']} steps) in {st['decoder_ms']:.0f} ms "
+        f"(prefill {st['prefill_ms']:.0f} ms + {st['ms_per_step']:.1f} ms/step)")
+    log(args, 1, f"RTF: {dt / max(st['audio_s'], 1e-9):.3f}")
+
+
+def run_stdin(args, params, cfg, tokenizer):
+    from voxtral_tpu.runtime import StreamConfig, VoxStream
+
+    s = VoxStream(params, cfg, tokenizer=tokenizer, stream_cfg=StreamConfig(
+        interval=args.interval, delay_tokens=args.delay // 80,
+        continuous=True, monitor=args.monitor,
+        n_alt=4 if args.alt is not None else 1,
+        alt_cutoff=args.alt if args.alt is not None else 0.0))
+
+    stdin = sys.stdin.buffer
+    first = stdin.read(4)
+    if first == b"RIFF":
+        # skip WAV header: read until "data" chunk id (main.c:304-340)
+        hdr = first + stdin.read(8)
+        while True:
+            cid = stdin.read(4)
+            if len(cid) < 4:
+                return
+            (size,) = struct.unpack("<I", stdin.read(4))
+            if cid == b"data":
+                break
+            stdin.read(size + (size & 1))
+        first = b""
+    buf = first
+    chunk_bytes = int(cfg.audio.sample_rate * 0.25) * 2   # 250 ms
+    while True:
+        data = stdin.read(chunk_bytes)
+        if not data:
+            break
+        buf += data
+        n = len(buf) // 2
+        if n == 0:
+            continue
+        samples = np.frombuffer(buf[:n * 2], dtype="<i2").astype(np.float32) / 32768.0
+        buf = buf[n * 2:]
+        s.feed(samples)
+        drain(s, args)
+    s.finish()
+    drain(s, args)
+    print(flush=True)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="voxtral_tpu")
+    ap.add_argument("-d", "--model-dir", default=None)
+    ap.add_argument("-i", "--input", default=None, help="WAV file")
+    ap.add_argument("--stdin", action="store_true")
+    ap.add_argument("--batch", action="store_true")
+    ap.add_argument("-I", "--interval", type=float, default=2.0)
+    ap.add_argument("--delay", type=int, default=480)
+    ap.add_argument("--alt", type=float, default=None)
+    ap.add_argument("--continuous", action="store_true")
+    ap.add_argument("--monitor", action="store_true")
+    ap.add_argument("--debug", action="store_true")
+    ap.add_argument("--silent", action="store_true")
+    ap.add_argument("--parity", action="store_true")
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--random-init", type=int, default=None, metavar="SEED")
+    args = ap.parse_args(argv)
+
+    args.verbosity = 2 if args.debug else (0 if args.silent else 1)
+    args.delay = max(80, min(2400, args.delay))
+    if not args.input and not args.stdin:
+        ap.error("need -i FILE or --stdin")
+    if not args.model_dir and args.random_init is None:
+        ap.error("need -d MODEL_DIR or --random-init SEED")
+
+    params, cfg, tokenizer = build(args)
+    if args.stdin:
+        run_stdin(args, params, cfg, tokenizer)
+    else:
+        run_file(args, params, cfg, tokenizer)
+
+
+if __name__ == "__main__":
+    main()

@@ -55,9 +55,14 @@ def ada_scales(dec_params: dict, t_cond: jax.Array) -> jax.Array:
 
 
 class DecodeState(NamedTuple):
-    """Batched decoder stream state (leading axis B = concurrent streams)."""
-    k_ring: jax.Array     # [B, L, W, Hkv, hd]
-    v_ring: jax.Array     # [B, L, W, Hkv, hd]
+    """Batched decoder stream state (leading axis B = concurrent streams).
+
+    Rings store KV heads MERGED into the last axis ([B, L, W, Hkv*hd]):
+    a [..., 8, 128] bf16 layout would pad the 8-sublane axis to 16 (2x HBM);
+    the merged 1024-wide axis is layout-clean. Attention reshapes per-layer
+    slices back to [W, Hkv, hd]."""
+    k_ring: jax.Array     # [B, L, W, Hkv*hd]
+    v_ring: jax.Array     # [B, L, W, Hkv*hd]
     pos: jax.Array        # [B] int32 next decode position
     prev_token: jax.Array  # [B] int32
     done: jax.Array       # [B] bool (EOS seen)
@@ -66,7 +71,7 @@ class DecodeState(NamedTuple):
 def init_decode_state(cfg: VoxtralConfig, batch: int = 1, dtype=None) -> DecodeState:
     d = cfg.decoder
     dt = dtype or cfg.compute_dtype
-    shape = (batch, d.layers, d.window, d.kv_heads, d.head_dim)
+    shape = (batch, d.layers, d.window, d.kv_dim)
     return DecodeState(
         k_ring=jnp.zeros(shape, dt),
         v_ring=jnp.zeros(shape, dt),
@@ -118,27 +123,31 @@ def decoder_prefill(dec_params: dict, cfg: VoxtralConfig, state: DecodeState,
     positions = jnp.arange(s, dtype=jnp.int32)
     cos, sin = rope_angles(positions, d.head_dim, d.rope_theta)
 
+    layers = dec_params["layers"]
+
     def one_stream(k_rings, v_rings, emb, nv):
         valid = positions < nv
         slots = jnp.where(valid, positions % ring, nv % ring)
 
-        def layer(h, xs):
-            lp, k_ring, v_ring, ada = xs
+        def layer(l, carry):
+            h, krs, vrs = carry
+            lp = jax.tree.map(lambda a: a[l], layers)
+            ada = t_ada[l]
             x = rms_norm(h, lp["attn_norm"], d.norm_eps)
             q, k, v = _layer_matmuls(lp, x, d)
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
             attn = windowed_attention(q, k, v, window=d.window)
-            k_ring = k_ring.at[slots].set(k.astype(k_ring.dtype))
-            v_ring = v_ring.at[slots].set(v.astype(v_ring.dtype))
+            krs = krs.at[l, slots].set(k.reshape(s, d.kv_dim).astype(krs.dtype))
+            vrs = vrs.at[l, slots].set(v.reshape(s, d.kv_dim).astype(vrs.dtype))
             h = h + attn.reshape(s, d.q_dim) @ lp["wo"]
             x = rms_norm(h, lp["ffn_norm"], d.norm_eps)
             x = x * (1.0 + ada.astype(x.dtype))[None, :]
             h = h + (jax.nn.silu(x @ lp["w1"]) * (x @ lp["w3"])) @ lp["w2"]
-            return h, (k_ring, v_ring)
+            return (h, krs, vrs)
 
-        _, (k2, v2) = jax.lax.scan(
-            layer, emb, (dec_params["layers"], k_rings, v_rings, t_ada))
+        _, k2, v2 = jax.lax.fori_loop(
+            0, d.layers, layer, (emb, k_rings, v_rings))
         return k2, v2
 
     k2, v2 = jax.vmap(one_stream, in_axes=(0, 0, 0, 0))(
@@ -168,6 +177,8 @@ def decode_scan(dec_params: dict, cfg: VoxtralConfig, state: DecodeState,
     embed = dec_params["embed"]
     eos = cfg.streaming.eos
 
+    layers = dec_params["layers"]
+
     def step_one(k_rings, v_rings, pos, prev, done, frame, nv, i):
         active = jnp.logical_and(i < nv, jnp.logical_not(done)) if stop_at_eos \
             else (i < nv)
@@ -177,26 +188,40 @@ def decode_scan(dec_params: dict, cfg: VoxtralConfig, state: DecodeState,
         slot = (pos % ring)[None]
         slot_pos = ring_slot_positions(pos, ring)
 
-        def layer(h, xs):
-            lp, k_ring, v_ring, ada = xs
+        # Layers are UNROLLED (static python loop): weights become static
+        # slices of the stacked arrays, which XLA reads in place — a
+        # fori/scan would dynamic-slice (i.e. copy) each layer's ~250 MB of
+        # weights every token step, doubling HBM traffic on the hot path.
+        def layer(l, h, krs, vrs):
+            lp = jax.tree.map(lambda a: a[l], layers)
+            ada = t_ada[l]
             x = rms_norm(h, lp["attn_norm"], d.norm_eps)
             q, k, v = _layer_matmuls(lp, x, d)
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
-            k_ring = k_ring.at[slot].set(k.astype(k_ring.dtype))
-            v_ring = v_ring.at[slot].set(v.astype(v_ring.dtype))
-            attn = ring_decode_attention(q, k_ring, v_ring, slot_pos=slot_pos,
-                                         q_pos=pos, window=d.window)
+            krs = krs.at[l, slot].set(k.reshape(1, d.kv_dim).astype(krs.dtype))
+            vrs = vrs.at[l, slot].set(v.reshape(1, d.kv_dim).astype(vrs.dtype))
+            attn = ring_decode_attention(
+                q, krs[l].reshape(ring, d.kv_heads, d.head_dim),
+                vrs[l].reshape(ring, d.kv_heads, d.head_dim),
+                slot_pos=slot_pos, q_pos=pos, window=d.window)
             h = h + attn.reshape(1, d.q_dim) @ lp["wo"]
             x = rms_norm(h, lp["ffn_norm"], d.norm_eps)
             x = x * (1.0 + ada.astype(x.dtype))[None, :]
             h = h + (jax.nn.silu(x @ lp["w1"]) * (x @ lp["w3"])) @ lp["w2"]
-            return h, (k_ring, v_ring)
+            return h, krs, vrs
 
-        h, (k2, v2) = jax.lax.scan(
-            layer, h, (dec_params["layers"], k_rings, v_rings, t_ada))
+        k2, v2 = k_rings, v_rings
+        for l in range(d.layers):
+            h, k2, v2 = layer(l, h, k2, v2)
         hn = rms_norm(h, dec_params["norm"], d.norm_eps)
-        logits = (hn.astype(jnp.float32) @ embed.astype(jnp.float32).T)[0]
+        # tied-embedding logits: operands stay in param dtype with f32 MXU
+        # accumulation — an explicit astype(f32) of the 131072x3072 table
+        # would materialize a 1.6 GB copy per token step
+        logits = jax.lax.dot_general(
+            hn.astype(embed.dtype), embed,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)[0]
         tok = jnp.argmax(logits).astype(jnp.int32)
 
         new_prev = jnp.where(active, tok, prev)

@@ -73,10 +73,15 @@ def encoder_forward(enc_params: dict, cfg: VoxtralConfig, h: jax.Array,
 
 class EncoderState(NamedTuple):
     """Incremental encoder KV ring. Slot addressing is pos % ring; ring size
-    must satisfy ring >= window + max_chunk - 1 so that after writing a chunk
-    the oldest in-window key is still resident."""
-    k_ring: jax.Array   # [L, R, H, hd]
-    v_ring: jax.Array   # [L, R, H, hd]
+    must satisfy ring >= window + max_chunk so that after writing a chunk
+    the oldest in-window key is still resident.
+
+    Rings store heads MERGED into the last axis ([L, R, H*hd]) — with
+    hd=64 < the 128-lane TPU tile, a [.., H, 64] layout would be padded 2x
+    in HBM; the merged 2048-wide axis is layout-clean. Attention reshapes
+    per-layer slices back to [R, H, hd] (a small VMEM-side temp)."""
+    k_ring: jax.Array   # [L, R, H*hd]
+    v_ring: jax.Array   # [L, R, H*hd]
     next_pos: jax.Array  # scalar int32: number of positions processed
 
 
@@ -84,7 +89,7 @@ def init_encoder_state(cfg: VoxtralConfig, ring_size: int = 1280,
                        dtype=None) -> EncoderState:
     e = cfg.encoder
     dt = dtype or cfg.compute_dtype
-    shape = (e.layers, ring_size, e.heads, e.head_dim)
+    shape = (e.layers, ring_size, e.attn_dim)
     return EncoderState(
         k_ring=jnp.zeros(shape, dt), v_ring=jnp.zeros(shape, dt),
         next_pos=jnp.zeros((), jnp.int32))
@@ -121,22 +126,29 @@ def encoder_incremental(enc_params: dict, cfg: VoxtralConfig,
     slot_pos = ring_slot_positions(last_pos, ring)
     q_pos = positions
 
-    def layer(h, xs):
-        lp, k_ring, v_ring = xs
+    layers = enc_params["layers"]
+
+    # fori_loop (not scan) over layers: the KV rings stay a single carry that
+    # XLA updates IN PLACE — a scan's stacked ys would double ring memory.
+    def body(l, carry):
+        h, krs, vrs = carry
+        lp = jax.tree.map(lambda a: a[l], layers)
         x = rms_norm(h, lp["attn_norm"], e.norm_eps)
         q, k, v = _attn_block(lp, x, e, cos, sin)
-        k_ring = k_ring.at[slots].set(k.astype(k_ring.dtype))
-        v_ring = v_ring.at[slots].set(v.astype(v_ring.dtype))
-        attn = ring_decode_attention(q, k_ring, v_ring, slot_pos=slot_pos,
-                                     q_pos=q_pos, window=e.window)
+        krs = krs.at[l, slots].set(k.reshape(s, e.attn_dim).astype(krs.dtype))
+        vrs = vrs.at[l, slots].set(v.reshape(s, e.attn_dim).astype(vrs.dtype))
+        attn = ring_decode_attention(
+            q, krs[l].reshape(ring, e.heads, e.head_dim),
+            vrs[l].reshape(ring, e.heads, e.head_dim),
+            slot_pos=slot_pos, q_pos=q_pos, window=e.window)
         h = h + attn.reshape(s, e.attn_dim) @ lp["wo"] + lp["wo_b"].astype(h.dtype)
         x = rms_norm(h, lp["ffn_norm"], e.norm_eps)
         ffn = (jax.nn.silu(x @ lp["w1"]) * (x @ lp["w3"])) @ lp["w2"]
         h = h + ffn + lp["w2_b"].astype(h.dtype)
-        return h, (k_ring, v_ring)
+        return (h, krs, vrs)
 
-    h, (k_rings, v_rings) = jax.lax.scan(
-        layer, h_chunk, (enc_params["layers"], state.k_ring, state.v_ring))
+    h, k_rings, v_rings = jax.lax.fori_loop(
+        0, e.layers, body, (h_chunk, state.k_ring, state.v_ring))
     out = rms_norm(h, enc_params["norm"], e.norm_eps)
     new_state = EncoderState(k_ring=k_rings, v_ring=v_rings,
                              next_pos=start + n_valid)

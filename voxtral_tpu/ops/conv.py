@@ -31,19 +31,20 @@ def causal_conv_out_len(length: int, kernel: int, stride: int) -> int:
 
 def causal_conv1d(x: jax.Array, weight: jax.Array, bias: jax.Array,
                   *, stride: int) -> jax.Array:
-    """x: [C_in, L]; weight: [C_out, C_in, K]; bias: [C_out]. Returns [C_out, L'].
+    """x: [C_in, L]; weight: [K, C_in, C_out] (lane-clean storage);
+    bias: [C_out]. Returns [C_out, L'].
 
     Computed in f32 (conv stem weights stay f32 in every reference mode).
     """
     cin, length = x.shape
-    kernel = weight.shape[2]
+    kernel = weight.shape[0]
     left, extra = causal_conv_pads(length, kernel, stride)
     out = jax.lax.conv_general_dilated(
         x.astype(jnp.float32)[None],                  # [1, C_in, L]
-        weight.astype(jnp.float32),                   # [C_out, C_in, K]
+        weight.astype(jnp.float32),                   # [K, C_in, C_out]
         window_strides=(stride,),
         padding=[(left, extra)],
-        dimension_numbers=("NCH", "OIH", "NCH"),
+        dimension_numbers=("NCH", "HIO", "NCH"),
         preferred_element_type=jnp.float32,
     )[0]
     return out + bias.astype(jnp.float32)[:, None]

@@ -1,0 +1,98 @@
+"""Mesh + sharding rules: TP over attention heads / FFN / vocab, DP over
+concurrent streams.
+
+The reference is single-device (SURVEY.md §2.4); this layer realizes the
+BASELINE.json north star: NamedShardings over a ('data', 'model') mesh,
+XLA/GSPMD inserts the collectives (psum after row-sharded wo/w2 matmuls,
+all-gather/argmax for the vocab-sharded logits) — ICI-resident by
+construction, no hand-written NCCL analogue.
+
+TP layout (megatron-style, applied to the stacked [L, ...] param tree):
+- wq/wk/wv, w1/w3: column-sharded (output/head dim on 'model')
+- wo, w2: row-sharded (input dim on 'model') -> psum
+- embed: vocab-sharded (tied logits matmul shards the 131072 axis)
+- norms, biases of row-sharded outputs, conv stem, ada MLP: replicated
+- KV rings: sharded over KV heads (8-way max for the 4B decoder)
+- all stream state: 'data'-sharded on the leading batch axis
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from voxtral_tpu.config import VoxtralConfig
+
+DATA, MODEL = "data", "model"
+
+
+def make_mesh(n_data: int, n_model: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = n_data * n_model
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    arr = np.asarray(devices[:n]).reshape(n_data, n_model)
+    return Mesh(arr, (DATA, MODEL))
+
+
+def param_pspecs(cfg: VoxtralConfig) -> dict:
+    """PartitionSpec tree matching the param tree structure."""
+    rep = P()
+    enc_layers = {
+        "attn_norm": rep, "ffn_norm": rep,
+        "wq": P(None, None, MODEL), "wq_b": P(None, MODEL),
+        "wk": P(None, None, MODEL),
+        "wv": P(None, None, MODEL), "wv_b": P(None, MODEL),
+        "wo": P(None, MODEL, None), "wo_b": rep,
+        "w1": P(None, None, MODEL), "w2": P(None, MODEL, None), "w2_b": rep,
+        "w3": P(None, None, MODEL),
+    }
+    dec_layers = {
+        "attn_norm": rep, "ffn_norm": rep,
+        "wq": P(None, None, MODEL), "wk": P(None, None, MODEL),
+        "wv": P(None, None, MODEL), "wo": P(None, MODEL, None),
+        "w1": P(None, None, MODEL), "w2": P(None, MODEL, None),
+        "w3": P(None, None, MODEL),
+        "ada_down": rep, "ada_up": rep,
+    }
+    return {
+        "encoder": {
+            "conv0_w": rep, "conv0_b": rep, "conv1_w": rep, "conv1_b": rep,
+            "layers": enc_layers, "norm": rep,
+        },
+        "adapter": {"w0": P(None, MODEL), "w1": P(MODEL, None)},
+        "decoder": {
+            "embed": P(MODEL, None),   # vocab-sharded tied embeddings
+            "layers": dec_layers, "norm": rep,
+        },
+    }
+
+
+def fleet_state_pspecs(cfg: VoxtralConfig) -> "FleetStatePspecs":
+    """PartitionSpecs for FleetState (see runtime/fleet.py): stream batch on
+    'data', KV heads on 'model'."""
+    from voxtral_tpu.runtime.fleet import FleetState
+    from voxtral_tpu.models.decoder import DecodeState
+    return FleetState(
+        mel_tail=P(DATA),
+        conv0_tail=P(DATA),
+        enc_k=P(DATA, None, None, MODEL),   # merged head axis, head-sharded
+        enc_v=P(DATA, None, None, MODEL),
+        enc_pos=P(DATA),
+        decode=DecodeState(
+            k_ring=P(DATA, None, None, MODEL),
+            v_ring=P(DATA, None, None, MODEL),
+            pos=P(DATA), prev_token=P(DATA), done=P(DATA)),
+    )
+
+
+def shard_tree(tree, pspecs, mesh: Mesh):
+    # PartitionSpec is tuple-like, so turn specs into NamedSharding leaves
+    # first, then zip with the value tree.
+    shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
+                             is_leaf=lambda x: isinstance(x, P))
+    return jax.tree.map(jax.device_put, tree, shardings)
+
+
+def shard_params(params: dict, cfg: VoxtralConfig, mesh: Mesh) -> dict:
+    return shard_tree(params, param_pspecs(cfg), mesh)

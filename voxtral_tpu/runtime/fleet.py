@@ -1,0 +1,183 @@
+"""Fleet step: the production multi-stream hot path.
+
+One jitted program advances B concurrent streams by one fixed-size audio
+chunk: batched conv stem (tail-carried) -> batched ring-cache encoder ->
+adapter -> scan decode of the chunk's tokens. Fixed shapes everywhere; the
+same compiled step runs forever.
+
+Why this exists: at bf16 the 4B decoder is HBM-bandwidth-bound (~9 GB of
+weights per token step), capping a single stream near 10x real-time on one
+chip. Batching B streams through one step amortizes every weight read B
+ways — this is the TPU answer to the reference's single-stream-per-process
+design (voxtral.c:1242) and the source of the >=50x/chip headline.
+
+Chunk contract: T mel frames per stream per step, T % 8 == 0 (so conv
+stride, 4x downsample, and token counts stay aligned with no residuals:
+T mel -> T conv0 -> T/2 encoder positions -> T/8 decoder tokens). The
+ragged/unaligned general case lives in runtime/stream.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from voxtral_tpu.config import VoxtralConfig
+from voxtral_tpu.models.adapter import adapter_forward
+from voxtral_tpu.models.decoder import (
+    DecodeState, decode_scan, decoder_prefill, init_decode_state,
+)
+from voxtral_tpu.models.encoder import (
+    EncoderState, encoder_incremental, init_encoder_state,
+)
+
+
+class FleetState(NamedTuple):
+    mel_tail: jax.Array    # [B, mel_bins, 2]
+    conv0_tail: jax.Array  # [B, enc_dim, 2]
+    enc_k: jax.Array       # [B, L, R, H, hd]
+    enc_v: jax.Array       # [B, L, R, H, hd]
+    enc_pos: jax.Array     # [B]
+    decode: DecodeState    # batched
+
+
+def init_fleet_state(cfg: VoxtralConfig, batch: int, *, enc_ring: int = 1280,
+                     dec_ring: int | None = None, dtype=None) -> FleetState:
+    dt = dtype or cfg.compute_dtype
+    e, d = cfg.encoder, cfg.decoder
+    dec_ring = dec_ring or d.window
+    dec = init_decode_state(cfg, batch=batch, dtype=dt)
+    if dec_ring != d.window:
+        shape = (batch, d.layers, dec_ring, d.kv_dim)
+        dec = dec._replace(k_ring=jnp.zeros(shape, dt),
+                           v_ring=jnp.zeros(shape, dt))
+    return FleetState(
+        mel_tail=jnp.zeros((batch, cfg.audio.mel_bins, 2), jnp.float32),
+        conv0_tail=jnp.zeros((batch, e.dim, 2), jnp.float32),
+        enc_k=jnp.zeros((batch, e.layers, enc_ring, e.attn_dim), dt),
+        enc_v=jnp.zeros((batch, e.layers, enc_ring, e.attn_dim), dt),
+        enc_pos=jnp.zeros((batch,), jnp.int32),
+        decode=dec,
+    )
+
+
+def _batched_causal_conv(x, w, b, stride, discard):
+    """x: [B, C_in, 2+T] (tail included) -> [B, C_out, T'] with the first
+    `discard` outputs (zero-pad contaminated) dropped, + exact GELU."""
+    left = w.shape[0] - stride
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), w.astype(jnp.float32),
+        window_strides=(stride,), padding=[(left, 0)],
+        dimension_numbers=("NCH", "HIO", "NCH"),
+        preferred_element_type=jnp.float32)
+    y = y + b.astype(jnp.float32)[None, :, None]
+    return jax.nn.gelu(y, approximate=False)[:, :, discard:]
+
+
+@partial(jax.jit, static_argnames=("cfg", "stop_at_eos", "collect_topk"),
+         donate_argnums=(2,))
+def fleet_step(params, cfg: VoxtralConfig, state: FleetState,
+               mel: jax.Array, t_ada: jax.Array, *,
+               stop_at_eos: bool = False, collect_topk: int = 0):
+    """mel: [B, mel_bins, T] (T % 8 == 0). Returns (state, tokens [B, T//8],
+    aux)."""
+    b, _, t = mel.shape
+    assert t % 8 == 0, t
+    enc_p = params["encoder"]
+
+    # conv stem with carried tails
+    x0 = jnp.concatenate([state.mel_tail, mel], axis=2)
+    y = _batched_causal_conv(x0, enc_p["conv0_w"], enc_p["conv0_b"], 1, 2)
+    x1 = jnp.concatenate([state.conv0_tail, y], axis=2)
+    c = _batched_causal_conv(x1, enc_p["conv1_w"], enc_p["conv1_b"], 2, 1)
+    h = jnp.swapaxes(c, 1, 2).astype(cfg.compute_dtype)      # [B, T/2, D]
+
+    # batched incremental encoder
+    def enc_one(k, v, pos, hh):
+        st = EncoderState(k_ring=k, v_ring=v, next_pos=pos)
+        st2, out = encoder_incremental(enc_p, cfg, st, hh)
+        return st2.k_ring, st2.v_ring, st2.next_pos, out
+
+    ek, ev, epos, enc_out = jax.vmap(enc_one)(
+        state.enc_k, state.enc_v, state.enc_pos, h)
+
+    frames = jax.vmap(lambda e: adapter_forward(params["adapter"], cfg, e))(
+        enc_out)                                             # [B, T/8, Dd]
+
+    n = t // 8
+    dec, tokens, aux = decode_scan(
+        params["decoder"], cfg, state.decode, frames,
+        jnp.full((b,), n, jnp.int32), t_ada,
+        collect_topk=collect_topk, stop_at_eos=stop_at_eos)
+
+    new_state = FleetState(
+        mel_tail=mel[:, :, -2:],
+        conv0_tail=y[:, :, -2:],
+        enc_k=ek, enc_v=ev, enc_pos=epos,
+        decode=dec)
+    return new_state, tokens, aux
+
+
+@partial(jax.jit, static_argnames=("cfg", "stop_at_eos"),
+         donate_argnums=(2,))
+def fleet_bootstrap(params, cfg: VoxtralConfig, state: FleetState,
+                    mel: jax.Array, t_ada: jax.Array, *,
+                    stop_at_eos: bool = False):
+    """First chunk of a fresh fleet: encode mel [B, mel_bins, T0]
+    (T0 >= 8 * prompt_len, T0 % 8 == 0), prefill the 39-token prompt on the
+    first frames, then decode the remainder. Returns (state, tokens
+    [B, T0//8 - (prompt_len-1)], aux)."""
+    b, _, t = mel.shape
+    lp = cfg.streaming.prompt_len
+    assert t % 8 == 0 and t // 8 >= lp, (t, lp)
+    enc_p = params["encoder"]
+    x0 = jnp.concatenate([state.mel_tail, mel], axis=2)
+    y = _batched_causal_conv(x0, enc_p["conv0_w"], enc_p["conv0_b"], 1, 2)
+    x1 = jnp.concatenate([state.conv0_tail, y], axis=2)
+    c = _batched_causal_conv(x1, enc_p["conv1_w"], enc_p["conv1_b"], 2, 1)
+    h = jnp.swapaxes(c, 1, 2).astype(cfg.compute_dtype)
+
+    def enc_one(k, v, pos, hh):
+        st = EncoderState(k_ring=k, v_ring=v, next_pos=pos)
+        st2, out = encoder_incremental(enc_p, cfg, st, hh)
+        return st2.k_ring, st2.v_ring, st2.next_pos, out
+
+    ek, ev, epos, enc_out = jax.vmap(enc_one)(
+        state.enc_k, state.enc_v, state.enc_pos, h)
+    frames = jax.vmap(lambda e: adapter_forward(params["adapter"], cfg, e))(
+        enc_out)
+    st = cfg.streaming
+    prompt = jnp.asarray([st.bos] + [st.streaming_pad] * (lp - 1), jnp.int32)
+    embed = params["decoder"]["embed"]
+    prefix = (frames[:, :lp - 1].astype(jnp.float32)
+              + embed[prompt[:-1]].astype(jnp.float32)[None])
+    dec = decoder_prefill(params["decoder"], cfg, state.decode, prefix, t_ada)
+    dec = dec._replace(prev_token=jnp.full((b,), prompt[-1], jnp.int32),
+                       done=jnp.zeros((b,), bool))
+    rest = frames[:, lp - 1:]
+    n = rest.shape[1]
+    dec, tokens, aux = decode_scan(
+        params["decoder"], cfg, dec, rest, jnp.full((b,), n, jnp.int32),
+        t_ada, stop_at_eos=stop_at_eos)
+    new_state = FleetState(mel_tail=mel[:, :, -2:], conv0_tail=y[:, :, -2:],
+                           enc_k=ek, enc_v=ev, enc_pos=epos, decode=dec)
+    return new_state, tokens, aux
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
+def fleet_prefill(params, cfg: VoxtralConfig, state: FleetState,
+                  frames: jax.Array, prompt_ids: jax.Array,
+                  t_ada: jax.Array) -> FleetState:
+    """Batched prompt prefill: frames [B, P-1, Dd], prompt_ids [P]."""
+    embed = params["decoder"]["embed"]
+    prefix = (frames.astype(jnp.float32)
+              + embed[prompt_ids[:-1]].astype(jnp.float32)[None])
+    dec = decoder_prefill(params["decoder"], cfg, state.decode, prefix, t_ada)
+    b = frames.shape[0]
+    dec = dec._replace(
+        prev_token=jnp.full((b,), prompt_ids[-1], jnp.int32),
+        done=jnp.zeros((b,), bool))
+    return state._replace(decode=dec)

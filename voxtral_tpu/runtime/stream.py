@@ -72,7 +72,7 @@ def _conv1_chunk(w, b, x):
     return jax.nn.gelu(y, approximate=False)[:, 1:]
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
 def _encoder_chunk(enc_params, cfg, state, h, n_valid):
     return encoder_incremental(enc_params, cfg, state, h, n_valid)
 
@@ -82,7 +82,7 @@ def _adapter_chunk(ada_params, cfg, x):
     return adapter_forward(ada_params, cfg, x)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
 def _prefill(dec_params, cfg, state, frames, prompt_ids, prev_token, t_ada):
     embed = dec_params["embed"]
     prefix = (frames.astype(jnp.float32)
@@ -92,8 +92,8 @@ def _prefill(dec_params, cfg, state, frames, prompt_ids, prev_token, t_ada):
                           done=jnp.zeros((1,), bool))
 
 
-_decode = jax.jit(decode_scan, static_argnames=("cfg", "collect_topk",
-                                                "stop_at_eos"))
+_decode = jax.jit(decode_scan, donate_argnums=(2,),
+                  static_argnames=("cfg", "collect_topk", "stop_at_eos"))
 
 
 @dataclasses.dataclass

@@ -245,11 +245,16 @@ def load_params(path: str, cfg: VoxtralConfig, *, device_put: bool = True,
                 stacked[key] = np.stack(leaves)
         return stacked
 
+    def conv_w(name):
+        # stored [K, I, O]: a trailing K=3 axis would be lane-padded to 128
+        # on TPU (~40x HBM blowup for conv1); [K, I, O] is layout-clean.
+        return np.ascontiguousarray(sf.tensor_f32(name).transpose(2, 1, 0))
+
     params = {
         "encoder": {
-            "conv0_w": sf.tensor_f32(f"{ENC_PREFIX}.conv_layers.0.conv.weight"),
+            "conv0_w": conv_w(f"{ENC_PREFIX}.conv_layers.0.conv.weight"),
             "conv0_b": sf.tensor_f32(f"{ENC_PREFIX}.conv_layers.0.conv.bias"),
-            "conv1_w": sf.tensor_f32(f"{ENC_PREFIX}.conv_layers.1.conv.weight"),
+            "conv1_w": conv_w(f"{ENC_PREFIX}.conv_layers.1.conv.weight"),
             "conv1_b": sf.tensor_f32(f"{ENC_PREFIX}.conv_layers.1.conv.bias"),
             "layers": stack(encoder_layer_names, cfg.encoder.layers),
             "norm": sf.tensor_f32(f"{ENC_PREFIX}.transformer.norm.weight"),
@@ -327,9 +332,9 @@ def random_params(cfg: VoxtralConfig, seed: int = 0, scale: float = 0.02,
     }
     return {
         "encoder": {
-            "conv0_w": r(D, cfg.audio.mel_bins, e.conv_kernel, dt=jnp.float32),
+            "conv0_w": r(e.conv_kernel, cfg.audio.mel_bins, D, dt=jnp.float32),
             "conv0_b": r(D, dt=jnp.float32),
-            "conv1_w": r(D, D, e.conv_kernel, dt=jnp.float32),
+            "conv1_w": r(e.conv_kernel, D, D, dt=jnp.float32),
             "conv1_b": r(D, dt=jnp.float32),
             "layers": enc_layers,
             "norm": f32(D, const=1.0) + r(D, dt=jnp.float32),
@@ -342,6 +347,77 @@ def random_params(cfg: VoxtralConfig, seed: int = 0, scale: float = 0.02,
     }
 
 
+def param_shapes(cfg: VoxtralConfig) -> dict:
+    """Pytree of jax.ShapeDtypeStruct describing the param tree."""
+    e, d = cfg.encoder, cfg.decoder
+    pd, f32 = cfg.param_dtype, jnp.float32
+
+    def s(shape, dt):
+        return jax.ShapeDtypeStruct(shape, dt)
+
+    L, D, A, H = e.layers, e.dim, e.attn_dim, e.hidden
+    Ld, Dd, Qd, Kd, Hd = d.layers, d.dim, d.q_dim, d.kv_dim, d.hidden
+    return {
+        "encoder": {
+            "conv0_w": s((e.conv_kernel, cfg.audio.mel_bins, D), f32),
+            "conv0_b": s((D,), f32),
+            "conv1_w": s((e.conv_kernel, D, D), f32), "conv1_b": s((D,), f32),
+            "layers": {
+                "attn_norm": s((L, D), f32), "ffn_norm": s((L, D), f32),
+                "wq": s((L, D, A), pd), "wq_b": s((L, A), f32),
+                "wk": s((L, D, A), pd),
+                "wv": s((L, D, A), pd), "wv_b": s((L, A), f32),
+                "wo": s((L, A, D), pd), "wo_b": s((L, D), f32),
+                "w1": s((L, D, H), pd), "w2": s((L, H, D), pd),
+                "w2_b": s((L, D), f32), "w3": s((L, D, H), pd),
+            },
+            "norm": s((D,), f32),
+        },
+        "adapter": {"w0": s((cfg.adapter_in, cfg.adapter_hidden), pd),
+                    "w1": s((cfg.adapter_hidden, Dd), pd)},
+        "decoder": {
+            "embed": s((d.vocab_size, Dd), pd),
+            "layers": {
+                "attn_norm": s((Ld, Dd), f32), "ffn_norm": s((Ld, Dd), f32),
+                "wq": s((Ld, Dd, Qd), pd), "wk": s((Ld, Dd, Kd), pd),
+                "wv": s((Ld, Dd, Kd), pd), "wo": s((Ld, Qd, Dd), pd),
+                "w1": s((Ld, Dd, Hd), pd), "w2": s((Ld, Hd, Dd), pd),
+                "w3": s((Ld, Dd, Hd), pd),
+                "ada_down": s((Ld, Dd, d.ada_dim), f32),
+                "ada_up": s((Ld, d.ada_dim, Dd), f32),
+            },
+            "norm": s((Dd,), f32),
+        },
+    }
+
+
+def random_params_device(cfg: VoxtralConfig, seed: int = 0,
+                         scale: float = 0.02, shardings=None) -> dict:
+    """Random params generated ON DEVICE (no host materialization) — used by
+    synthetic benchmarks at full 4B size. Norm weights init to 1."""
+    shapes = param_shapes(cfg)
+    leaves, treedef = jax.tree.flatten(shapes)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
+    shard_leaves = (jax.tree.flatten(shardings)[0] if shardings is not None
+                    else [None] * len(leaves))
+    out = []
+    for i, (leaf, key) in enumerate(zip(leaves, keys)):
+        def make(k, sds=leaf):
+            return (jax.random.normal(k, sds.shape, jnp.float32)
+                    * scale).astype(sds.dtype)
+        fn = jax.jit(make, out_shardings=shard_leaves[i]) \
+            if shard_leaves[i] is not None else jax.jit(make)
+        out.append(fn(key))
+    params = jax.tree.unflatten(treedef, out)
+    # norm weights ~1 for sane activations
+    for sec in ("encoder", "decoder"):
+        lp = params[sec]["layers"]
+        lp["attn_norm"] = lp["attn_norm"] + 1.0
+        lp["ffn_norm"] = lp["ffn_norm"] + 1.0
+        params[sec]["norm"] = params[sec]["norm"] + 1.0
+    return params
+
+
 def params_to_safetensors(params: dict, cfg: VoxtralConfig, path: str) -> None:
     """Export a param tree back to reference-layout safetensors (test helper:
     lets the torch ground-truth implementation consume our random weights)."""
@@ -352,9 +428,13 @@ def params_to_safetensors(params: dict, cfg: VoxtralConfig, path: str) -> None:
         arr = np.asarray(jax.device_get(arr), dtype=np.float32)
         t[name] = arr.T if transpose else arr
 
-    put(f"{ENC_PREFIX}.conv_layers.0.conv.weight", enc["conv0_w"], False)
+    def put_conv(name, arr):
+        a = np.asarray(jax.device_get(arr), dtype=np.float32)
+        t[name] = np.ascontiguousarray(a.transpose(2, 1, 0))  # [K,I,O]->[O,I,K]
+
+    put_conv(f"{ENC_PREFIX}.conv_layers.0.conv.weight", enc["conv0_w"])
     put(f"{ENC_PREFIX}.conv_layers.0.conv.bias", enc["conv0_b"], False)
-    put(f"{ENC_PREFIX}.conv_layers.1.conv.weight", enc["conv1_w"], False)
+    put_conv(f"{ENC_PREFIX}.conv_layers.1.conv.weight", enc["conv1_w"])
     put(f"{ENC_PREFIX}.conv_layers.1.conv.bias", enc["conv1_b"], False)
     for i in range(cfg.encoder.layers):
         for key, (name, transpose) in encoder_layer_names(i).items():
