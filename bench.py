@@ -40,7 +40,7 @@ def log(msg):
 def bench_fleet(params, cfg, t_ada, batch, chunk_mel, enc_ring, dec_ring,
                 warmup=2, iters=8):
     state = init_fleet_state(cfg, batch=batch, enc_ring=enc_ring,
-                             dec_ring=dec_ring)
+                             dec_ring=dec_ring, max_mel_chunk=320)
     rng = np.random.RandomState(0)
     mel0 = jnp.asarray(rng.rand(batch, cfg.audio.mel_bins, 320)
                        .astype(np.float32))
@@ -48,17 +48,20 @@ def bench_fleet(params, cfg, t_ada, batch, chunk_mel, enc_ring, dec_ring,
                       .astype(np.float32))
     t0 = time.perf_counter()
     state, tokens, _ = fleet_bootstrap(params, cfg, state, mel0, t_ada)
-    jax.block_until_ready(tokens)
+    # Host transfer each sync point: on the axon tunnel, block_until_ready
+    # can swallow async device failures (an OOM once masqueraded as a
+    # 0.2 ms "step") — np.asarray forces a real round-trip and raises.
+    np.asarray(tokens)
     log(f"  bootstrap+compile: {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
     for _ in range(warmup):
         state, tokens, _ = fleet_step(params, cfg, state, mel, t_ada)
-    jax.block_until_ready(tokens)
+    np.asarray(tokens)
     log(f"  warmup ({warmup} steps): {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
     for _ in range(iters):
         state, tokens, _ = fleet_step(params, cfg, state, mel, t_ada)
-    jax.block_until_ready(tokens)
+        np.asarray(tokens)
     dt = time.perf_counter() - t0
     audio_s = batch * (chunk_mel / 100.0) * iters
     step_ms = dt / iters * 1e3

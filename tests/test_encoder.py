@@ -43,8 +43,8 @@ def test_incremental_encoder_equals_batch(tiny_cfg, tiny_params):
     for size in (5, 1, 17, 3, 30, 40):
         chunk = h_full[pos:pos + size]
         state, out = encoder_incremental(
-            tiny_params["encoder"], tiny_cfg, state, chunk)
-        outs.append(np.asarray(out))
+            tiny_params["encoder"], tiny_cfg, state, chunk[None])
+        outs.append(np.asarray(out[0]))
         pos += size
     inc = np.concatenate(outs)
     np.testing.assert_allclose(inc, np.asarray(batch_out), atol=3e-5, rtol=1e-4)
@@ -67,9 +67,9 @@ def test_incremental_encoder_padding_mask(tiny_cfg, tiny_params):
         # poison the padding rows to prove they are masked
         chunk[size:] = 1e3
         state, out = encoder_incremental(
-            tiny_params["encoder"], tiny_cfg, state, jnp.asarray(chunk),
+            tiny_params["encoder"], tiny_cfg, state, jnp.asarray(chunk)[None],
             n_valid=size)
-        outs.append(np.asarray(out)[:size])
+        outs.append(np.asarray(out[0])[:size])
         pos += size
     inc = np.concatenate(outs)
     np.testing.assert_allclose(inc, np.asarray(batch_out), atol=3e-5, rtol=1e-4)

@@ -61,12 +61,14 @@ def test_flush_midstream_keeps_stream_open(tiny_cfg, tiny_params, audio):
                   stream_cfg=StreamConfig(interval=2.0))
     s.feed(audio[:32000])
     s.flush()
-    early = s.get_ids()
+    early_generated = s.stats()["generated"]
     s.feed(audio[32000:])
     s.finish()
-    late = s.get_ids()
-    assert not s.finished or s.finished  # stream usable after flush
-    assert len(early) + len(late) > 0
+    # flush produced tokens early AND the stream kept decoding afterwards
+    # (token IDs themselves are weight-dependent — tiny random weights may
+    # greedy-decode only control tokens, so count generated steps)
+    assert early_generated > 0
+    assert s.stats()["generated"] > early_generated
 
 
 def test_stats_populated(tiny_cfg, tiny_params, audio):

@@ -45,11 +45,12 @@ def test_param_tree_roundtrip(tiny_cfg, tiny_params, tmp_path):
     params_to_safetensors(tiny_params, tiny_cfg, path)
     reloaded = load_params(path, tiny_cfg, device_put=False)
     for section in ("encoder", "decoder"):
-        for key, val in tiny_params[section]["layers"].items():
-            np.testing.assert_allclose(
-                np.asarray(reloaded[section]["layers"][key]),
-                np.asarray(val), atol=1e-6,
-                err_msg=f"{section}.layers.{key}")
+        for i, layer in enumerate(tiny_params[section]["layers"]):
+            for key, val in layer.items():
+                np.testing.assert_allclose(
+                    np.asarray(reloaded[section]["layers"][i][key]),
+                    np.asarray(val), atol=1e-6,
+                    err_msg=f"{section}.layers.{i}.{key}")
     np.testing.assert_allclose(np.asarray(reloaded["adapter"]["w0"]),
                                np.asarray(tiny_params["adapter"]["w0"]), atol=1e-6)
     np.testing.assert_allclose(np.asarray(reloaded["decoder"]["embed"]),

@@ -7,18 +7,50 @@ no biases, interleaved RoPE theta=1e6, sliding window 8192, tied embeddings
 (logits = h @ embed.T in f32), per-layer ada_rms_norm time conditioning
 applied after ffn_norm: h_norm * (1 + ada_scale).
 
-TPU redesign vs the reference:
-- The grow/memmove KV cache (voxtral_decoder.c:251-384) becomes a circular
-  buffer [L, W, Hkv, hd] addressed pos % W with masking by logical position;
-  one compile covers unlimited audio. Resetting a stream is pos := 0 — stale
-  slots alias to negative logical positions and are masked out.
-- The reference pays one device sync per token (voxtral_metal.m:2888-3174);
-  here a whole backlog of adapter frames decodes in ONE lax.scan dispatch
-  (greedy feedback carried on device), with bucket padding + n_valid masking
-  so streaming intervals never recompile.
-- All state is batched over a leading stream axis: concurrent streams share
-  each weight read, which is what makes a bandwidth-bound 4B decoder scale
-  past real-time on one chip.
+TPU redesign vs the reference — four rules shape this file, all learned
+empirically from XLA TPU buffer-assignment/scheduling behavior on v5e:
+
+1. PER-LAYER BUFFERS, never stacked-and-sliced. A dot (or attention read)
+   cannot consume a slice of a bigger parameter in place — XLA materializes
+   a copy of the slice, per scan iteration. This applies to stacked
+   [L, ...] weights AND to a monolithic [B, L, R, K] KV cache (measured:
+   ring slices re-copied every decode step, ~3.7 ms/token at B=8). Weights
+   and KV rings are therefore TUPLES of per-layer arrays.
+
+2. LOCKSTEP ring cursor. The grow/memmove KV cache
+   (voxtral_decoder.c:251-384) becomes circular buffers [B, W, Hkv*hd]
+   whose write slots are assigned by ONE cursor shared by all streams, with
+   a per-stream [B, W] table mapping slots to logical positions (attention
+   masks by logical position). Per-stream `pos % W` writes would be a
+   batched scatter, which XLA cannot keep in place (full ring copy).
+
+3. RINGS ARE NEVER READ BEFORE BEING WRITTEN inside one program. A chunk's
+   KV is accumulated in small per-layer [B, N, K] buffers during the decode
+   scan (attention sees ring + chunk-so-far as extra masked columns) and
+   parked in the state as a PENDING block; the NEXT call folds it into the
+   rings FIRST — one dynamic_update_slice per ring before any ring read.
+   Writing the rings at the END of a program (after the scan read them)
+   makes the TPU scheduler double-buffer them (+GiBs and ring-sized
+   copies).
+
+4. The fold never wraps: the physical ring carries an Np-slot OVERFLOW
+   margin (P = R + Np; writes land at ctr % R), and R >= window + Np keeps
+   every stomped slot out-of-window, so sliding-window semantics stay
+   exact. Overflow slots are ordinary readable slots — each holds a
+   distinct position, masked by slot_pos like any other.
+
+The reference pays one device sync per token (voxtral_metal.m:2888-3174);
+here a whole backlog of adapter frames decodes in ONE lax.scan dispatch
+(greedy feedback carried on device), with bucket padding + n_valid masking
+so streaming intervals never recompile. All state is batched over a leading
+stream axis: concurrent streams share each weight read, which is what makes
+a bandwidth-bound 4B decoder scale past real-time on one chip.
+
+Lockstep caveat: the shared cursor advances by the longest active prefix
+over the batch, so a stream that idles (EOS / shorter backlog) while
+siblings decode has its slots recycled sooner — its effective window
+shrinks by its lag fraction. The fleet contract (equal backlogs) and B=1
+streaming are exact.
 """
 
 from __future__ import annotations
@@ -30,8 +62,12 @@ import jax
 import jax.numpy as jnp
 
 from voxtral_tpu.config import VoxtralConfig
-from voxtral_tpu.ops import apply_rope, ring_decode_attention, rms_norm, rope_angles
-from voxtral_tpu.ops.attention import ring_slot_positions, windowed_attention
+from voxtral_tpu.ops import apply_rope, rms_norm, rope_angles
+from voxtral_tpu.ops.attention import (
+    ring_decode_attention, windowed_attention,
+)
+
+SLOT_INVALID = -(1 << 30)
 
 
 def time_conditioning(delay_tokens: float, dim: int, theta: float = 10000.0) -> jax.Array:
@@ -46,53 +82,105 @@ def time_conditioning(delay_tokens: float, dim: int, theta: float = 10000.0) -> 
 def ada_scales(dec_params: dict, t_cond: jax.Array) -> jax.Array:
     """Precompute per-layer ada scales [L, D] once per delay setting
     (the reference computes this at load: voxtral.c:57-79)."""
-    layers = dec_params["layers"]
     tc = t_cond.astype(jnp.float32)
-    hidden = jax.nn.gelu(
-        jnp.einsum("d,lde->le", tc, layers["ada_down"].astype(jnp.float32)),
-        approximate=False)
-    return jnp.einsum("le,led->ld", hidden, layers["ada_up"].astype(jnp.float32))
+    rows = [jax.nn.gelu(tc @ lp["ada_down"].astype(jnp.float32),
+                        approximate=False) @ lp["ada_up"].astype(jnp.float32)
+            for lp in dec_params["layers"]]
+    return jnp.stack(rows)
 
 
 class DecodeState(NamedTuple):
     """Batched decoder stream state (leading axis B = concurrent streams).
 
-    Rings store KV heads MERGED into the last axis ([B, L, W, Hkv*hd]):
-    a [..., 8, 128] bf16 layout would pad the 8-sublane axis to 16 (2x HBM);
-    the merged 1024-wide axis is layout-clean. Attention reshapes per-layer
-    slices back to [W, Hkv, hd]."""
-    k_ring: jax.Array     # [B, L, W, Hkv*hd]
-    v_ring: jax.Array     # [B, L, W, Hkv*hd]
-    pos: jax.Array        # [B] int32 next decode position
+    k_ring/v_ring: tuples of L per-layer [B, P, Hkv*hd] circular buffers
+    (rule 1; P = R + Np, rule 4). KV heads are MERGED into the last axis —
+    a [..., 8, 128] bf16 layout would be padded on the 8-sublane axis; the
+    merged 1024-wide axis is layout-clean. Attention reshapes to
+    [P, Hkv, hd].
+
+    pending_*: the most recent chunk's KV, not yet folded into the rings
+    (rule 3). write_ctr is the ring slot where pending column 0 lands;
+    pending_adv is how far the cursor advances after the fold (the chunk's
+    longest active prefix)."""
+    k_ring: tuple          # L x [B, P, Hkv*hd]
+    v_ring: tuple          # L x [B, P, Hkv*hd]
+    slot_pos: jax.Array    # [B, P] int32 logical position per slot
+    pending_k: tuple       # L x [B, Np, Hkv*hd]
+    pending_v: tuple       # L x [B, Np, Hkv*hd]
+    pending_sp: jax.Array  # [B, Np] int32 (SLOT_INVALID = empty column)
+    pending_adv: jax.Array  # [] int32
+    write_ctr: jax.Array   # [] int32
+    pos: jax.Array         # [B] int32 next decode position
     prev_token: jax.Array  # [B] int32
-    done: jax.Array       # [B] bool (EOS seen)
+    done: jax.Array        # [B] bool (EOS seen)
 
 
-def init_decode_state(cfg: VoxtralConfig, batch: int = 1, dtype=None) -> DecodeState:
+def init_decode_state(cfg: VoxtralConfig, batch: int = 1, dtype=None,
+                      ring_size: int | None = None,
+                      pending_size: int = 64) -> DecodeState:
+    """ring_size (the cursor modulus R) defaults to window + pending_size so
+    pending folds can never clobber an in-window slot (rule 4)."""
     d = cfg.decoder
     dt = dtype or cfg.compute_dtype
-    shape = (batch, d.layers, d.window, d.kv_dim)
+    ring = ring_size or (d.window + pending_size)
+    assert pending_size <= ring
+    phys = ring + pending_size
     return DecodeState(
-        k_ring=jnp.zeros(shape, dt),
-        v_ring=jnp.zeros(shape, dt),
+        k_ring=tuple(jnp.zeros((batch, phys, d.kv_dim), dt)
+                     for _ in range(d.layers)),
+        v_ring=tuple(jnp.zeros((batch, phys, d.kv_dim), dt)
+                     for _ in range(d.layers)),
+        slot_pos=jnp.full((batch, phys), SLOT_INVALID, jnp.int32),
+        pending_k=tuple(jnp.zeros((batch, pending_size, d.kv_dim), dt)
+                        for _ in range(d.layers)),
+        pending_v=tuple(jnp.zeros((batch, pending_size, d.kv_dim), dt)
+                        for _ in range(d.layers)),
+        pending_sp=jnp.full((batch, pending_size), SLOT_INVALID, jnp.int32),
+        pending_adv=jnp.zeros((), jnp.int32),
+        write_ctr=jnp.zeros((), jnp.int32),
         pos=jnp.zeros((batch,), jnp.int32),
         prev_token=jnp.full((batch,), 1, jnp.int32),   # BOS
         done=jnp.zeros((batch,), bool),
     )
 
 
-def reset_streams(state: DecodeState, mask: jax.Array,
-                  bos_token: int = 1) -> DecodeState:
-    """Host-driven per-stream decoder reset (watchdog restarts): pos := 0.
+def reset_streams(state: DecodeState, mask: jax.Array, bos_token: int = 1,
+                  reset_write_ctr: bool = False) -> DecodeState:
+    """Host-driven per-stream decoder reset (watchdog restarts): pos := 0 and
+    the slot tables invalidated — ring contents need no clearing.
 
-    Ring contents need no clearing — slots alias to negative logical
-    positions until rewritten. mask: [B] bool, True = reset that stream.
+    mask: [B] bool, True = reset that stream. reset_write_ctr: only valid
+    when every stream resets (B=1 streaming); a reset stream inside a live
+    fleet keeps the shared cursor and re-prefills via forced-token decode
+    steps (decode_scan forced_tokens).
     """
-    return DecodeState(
-        k_ring=state.k_ring, v_ring=state.v_ring,
+    zero = jnp.zeros((), jnp.int32)
+    return state._replace(
+        slot_pos=jnp.where(mask[:, None], SLOT_INVALID, state.slot_pos),
+        pending_sp=jnp.where(mask[:, None], SLOT_INVALID, state.pending_sp),
+        pending_adv=zero if reset_write_ctr else state.pending_adv,
+        write_ctr=zero if reset_write_ctr else state.write_ctr,
         pos=jnp.where(mask, 0, state.pos),
         prev_token=jnp.where(mask, bos_token, state.prev_token),
         done=jnp.where(mask, False, state.done))
+
+
+def _fold_pending(state: DecodeState):
+    """Fold the pending chunk into the rings — ONE in-place
+    dynamic_update_slice per ring buffer, issued BEFORE any ring read
+    (rule 3), at ctr % R (the overflow margin guarantees no wrap, rule 4).
+    Returns (k_rings, v_rings, slot_pos, base) with base = cursor for the
+    next chunk."""
+    np_ = state.pending_sp.shape[1]
+    ring = state.k_ring[0].shape[1] - np_
+    slot = state.write_ctr % ring
+    krs = tuple(jax.lax.dynamic_update_slice(kr, pk, (0, slot, 0))
+                for kr, pk in zip(state.k_ring, state.pending_k))
+    vrs = tuple(jax.lax.dynamic_update_slice(vr, pv, (0, slot, 0))
+                for vr, pv in zip(state.v_ring, state.pending_v))
+    sp = jax.lax.dynamic_update_slice(
+        state.slot_pos, state.pending_sp, (0, slot))
+    return krs, vrs, sp, state.write_ctr + state.pending_adv
 
 
 def _layer_matmuls(lp, x, cfg):
@@ -107,113 +195,155 @@ def _layer_matmuls(lp, x, cfg):
 def decoder_prefill(dec_params: dict, cfg: VoxtralConfig, state: DecodeState,
                     embeds: jax.Array, t_ada: jax.Array,
                     n_valid: jax.Array | None = None) -> DecodeState:
-    """Multi-token prefill from position 0 (always from a fresh/reset stream,
-    matching the reference which zeroes the cache before prefill,
+    """Multi-token prefill from position 0 on a FRESH/reset state
+    (write_ctr == 0; the reference likewise zeroes the cache before prefill,
     voxtral.c:1050-1055). embeds: [B, S, D]; t_ada: [L, D] precomputed ada
     scales; n_valid: [B] (rows beyond are padding).
 
     Does NOT produce logits — the first sampled token comes from the first
-    decode_scan step at pos = prompt_len - 1.
+    decode_scan step at pos = prompt_len - 1. Prefill writes the rings
+    directly (it never reads them), and leaves an empty pending block.
     """
     d = cfg.decoder
     b, s, _ = embeds.shape
-    ring = state.k_ring.shape[2]
     if n_valid is None:
         n_valid = jnp.full((b,), s, jnp.int32)
     positions = jnp.arange(s, dtype=jnp.int32)
     cos, sin = rope_angles(positions, d.head_dim, d.rope_theta)
 
-    layers = dec_params["layers"]
-
-    def one_stream(k_rings, v_rings, emb, nv):
-        valid = positions < nv
-        slots = jnp.where(valid, positions % ring, nv % ring)
-
-        def layer(l, carry):
-            h, krs, vrs = carry
-            lp = jax.tree.map(lambda a: a[l], layers)
-            ada = t_ada[l]
+    def one_stream(emb):
+        """[S, D] -> per-layer (k, v) [S, Hkv*hd] lists; attention is over
+        the prefix itself (fresh cache), so ring reads are not needed."""
+        h = emb
+        ks, vs = [], []
+        for l, lp in enumerate(dec_params["layers"]):
             x = rms_norm(h, lp["attn_norm"], d.norm_eps)
             q, k, v = _layer_matmuls(lp, x, d)
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
             attn = windowed_attention(q, k, v, window=d.window)
-            krs = krs.at[l, slots].set(k.reshape(s, d.kv_dim).astype(krs.dtype))
-            vrs = vrs.at[l, slots].set(v.reshape(s, d.kv_dim).astype(vrs.dtype))
             h = h + attn.reshape(s, d.q_dim) @ lp["wo"]
             x = rms_norm(h, lp["ffn_norm"], d.norm_eps)
-            x = x * (1.0 + ada.astype(x.dtype))[None, :]
+            x = x * (1.0 + t_ada[l].astype(x.dtype))[None, :]
             h = h + (jax.nn.silu(x @ lp["w1"]) * (x @ lp["w3"])) @ lp["w2"]
-            return (h, krs, vrs)
+            ks.append(k.reshape(s, d.kv_dim))
+            vs.append(v.reshape(s, d.kv_dim))
+        return tuple(ks), tuple(vs)
 
-        _, k2, v2 = jax.lax.fori_loop(
-            0, d.layers, layer, (emb, k_rings, v_rings))
-        return k2, v2
-
-    k2, v2 = jax.vmap(one_stream, in_axes=(0, 0, 0, 0))(
-        state.k_ring, state.v_ring, embeds.astype(cfg.compute_dtype), n_valid)
-    return DecodeState(k_ring=k2, v_ring=v2, pos=n_valid.astype(jnp.int32),
-                       prev_token=state.prev_token, done=state.done)
+    k_all, v_all = jax.vmap(one_stream)(embeds.astype(cfg.compute_dtype))
+    row_pos = jnp.where(positions[None, :] < n_valid[:, None],
+                        positions[None, :], SLOT_INVALID).astype(jnp.int32)
+    np_ = state.pending_sp.shape[1]
+    ring = state.k_ring[0].shape[1] - np_   # logical ring (cursor modulus)
+    if s > ring:
+        # Only the last `ring` positions survive; slot j holds position
+        # p ≡ j (mod ring), i.e. the kept rows rolled by the static s % ring.
+        shift = s % ring
+        k_all = tuple(jnp.roll(k[:, s - ring:, :], shift, axis=1)
+                      for k in k_all)
+        v_all = tuple(jnp.roll(v[:, s - ring:, :], shift, axis=1)
+                      for v in v_all)
+        row_pos = jnp.roll(row_pos[:, s - ring:], shift, axis=1)
+    # One contiguous static-offset write per ring: slots 0..min(S, ring)-1.
+    k2 = tuple(jax.lax.dynamic_update_slice(kr, k.astype(kr.dtype), (0, 0, 0))
+               for kr, k in zip(state.k_ring, k_all))
+    v2 = tuple(jax.lax.dynamic_update_slice(vr, v.astype(vr.dtype), (0, 0, 0))
+               for vr, v in zip(state.v_ring, v_all))
+    slot_pos = jax.lax.dynamic_update_slice(state.slot_pos, row_pos, (0, 0))
+    return state._replace(
+        k_ring=k2, v_ring=v2, slot_pos=slot_pos,
+        pending_sp=jnp.full_like(state.pending_sp, SLOT_INVALID),
+        pending_adv=jnp.zeros((), jnp.int32),
+        write_ctr=jnp.int32(s),
+        pos=n_valid.astype(jnp.int32))
 
 
 def decode_scan(dec_params: dict, cfg: VoxtralConfig, state: DecodeState,
                 frames: jax.Array, n_valid: jax.Array, t_ada: jax.Array,
-                *, collect_topk: int = 0, stop_at_eos: bool = True):
+                *, collect_topk: int = 0, stop_at_eos: bool = True,
+                forced_tokens: jax.Array | None = None):
     """Greedy-decode up to N tokens per stream in one compiled scan.
 
     frames: [B, N, D] adapter outputs for positions state.pos + i
     n_valid: [B] number of real frames per stream (rest is bucket padding)
+    forced_tokens: optional [B, N] int32; entries >= 0 override the greedy
+    choice as the feedback/emitted token (used for batched prompt-replay
+    after a per-stream watchdog restart inside a live fleet).
     Returns (new_state, tokens [B, N] int32 (-1 where inactive),
              aux dict with optional top-k/logit info for alt-tokens).
 
-    Inactive steps (i >= n_valid or done) still execute but their ring writes
-    land in the slot the next active step overwrites, and their token output
-    is masked to -1; pos/prev_token stay frozen. This is what lets every
-    stream in the batch carry a different backlog without recompilation.
+    Inactive steps (i >= n_valid or done) contribute SLOT_INVALID pending
+    columns and their token output is masked to -1; pos/prev_token stay
+    frozen. This is what lets every stream in the batch carry a different
+    backlog without recompilation.
     """
     d = cfg.decoder
     b, n, _ = frames.shape
-    ring = state.k_ring.shape[2]
+    np_ = state.pending_sp.shape[1]
+    if n > np_:
+        # A chunk larger than the pending block decodes as sequential
+        # segments; production chunks are << pending.
+        toks, auxes = [], []
+        for s0 in range(0, n, np_):
+            s1 = min(s0 + np_, n)
+            seg_nv = jnp.clip(n_valid - s0, 0, s1 - s0)
+            seg_forced = None if forced_tokens is None \
+                else forced_tokens[:, s0:s1]
+            state, t, a = decode_scan(
+                dec_params, cfg, state, frames[:, s0:s1], seg_nv, t_ada,
+                collect_topk=collect_topk, stop_at_eos=stop_at_eos,
+                forced_tokens=seg_forced)
+            toks.append(t)
+            auxes.append(a)
+        aux_out = {k: jnp.concatenate([a[k] for a in auxes], axis=1)
+                   for k in auxes[0]}
+        return state, jnp.concatenate(toks, axis=1), aux_out
+
+    phys = state.k_ring[0].shape[1]
     embed = dec_params["embed"]
     eos = cfg.streaming.eos
+    layer_list = dec_params["layers"]
 
-    layers = dec_params["layers"]
+    # Rule 3: fold the previous chunk's KV into the rings BEFORE any ring
+    # read, then treat the rings as loop-invariant.
+    k_rings, v_rings, ring_sp, base = _fold_pending(state)
 
-    def step_one(k_rings, v_rings, pos, prev, done, frame, nv, i):
+    def step_one(pos, prev, done, frame, nv, i, forced,
+                 krs, vrs, my_ring_sp, chunk_k, chunk_v, chunk_pos):
+        """Per-stream math for one token step. krs/vrs: per-layer [P, K]
+        tuples (read-only); chunk_k/v: per-layer [N, K] tuples of this
+        scan's accumulated KV; chunk_pos: [N] logical positions."""
         active = jnp.logical_and(i < nv, jnp.logical_not(done)) if stop_at_eos \
             else (i < nv)
         tok_emb = embed[prev].astype(jnp.float32)
         h = (frame.astype(jnp.float32) + tok_emb)[None].astype(cfg.compute_dtype)
         cos, sin = rope_angles(pos[None], d.head_dim, d.rope_theta)
-        slot = (pos % ring)[None]
-        slot_pos = ring_slot_positions(pos, ring)
+        chunk_pos = chunk_pos.at[i].set(jnp.where(active, pos, SLOT_INVALID))
 
-        # Layers are UNROLLED (static python loop): weights become static
-        # slices of the stacked arrays, which XLA reads in place — a
-        # fori/scan would dynamic-slice (i.e. copy) each layer's ~250 MB of
-        # weights every token step, doubling HBM traffic on the hot path.
-        def layer(l, h, krs, vrs):
-            lp = jax.tree.map(lambda a: a[l], layers)
+        chunk_k = list(chunk_k)
+        chunk_v = list(chunk_v)
+        for l in range(d.layers):
+            lp = layer_list[l]
             ada = t_ada[l]
             x = rms_norm(h, lp["attn_norm"], d.norm_eps)
             q, k, v = _layer_matmuls(lp, x, d)
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
-            krs = krs.at[l, slot].set(k.reshape(1, d.kv_dim).astype(krs.dtype))
-            vrs = vrs.at[l, slot].set(v.reshape(1, d.kv_dim).astype(vrs.dtype))
+            ck = chunk_k[l].at[i].set(k.reshape(d.kv_dim).astype(chunk_k[l].dtype))
+            cv = chunk_v[l].at[i].set(v.reshape(d.kv_dim).astype(chunk_v[l].dtype))
+            chunk_k[l], chunk_v[l] = ck, cv
             attn = ring_decode_attention(
-                q, krs[l].reshape(ring, d.kv_heads, d.head_dim),
-                vrs[l].reshape(ring, d.kv_heads, d.head_dim),
-                slot_pos=slot_pos, q_pos=pos, window=d.window)
+                q, krs[l].reshape(phys, d.kv_heads, d.head_dim),
+                vrs[l].reshape(phys, d.kv_heads, d.head_dim),
+                slot_pos=my_ring_sp, q_pos=pos, window=d.window,
+                extra_kv=(ck.reshape(n, d.kv_heads, d.head_dim),
+                          cv.reshape(n, d.kv_heads, d.head_dim),
+                          chunk_pos))
             h = h + attn.reshape(1, d.q_dim) @ lp["wo"]
             x = rms_norm(h, lp["ffn_norm"], d.norm_eps)
             x = x * (1.0 + ada.astype(x.dtype))[None, :]
             h = h + (jax.nn.silu(x @ lp["w1"]) * (x @ lp["w3"])) @ lp["w2"]
-            return h, krs, vrs
 
-        k2, v2 = k_rings, v_rings
-        for l in range(d.layers):
-            h, k2, v2 = layer(l, h, k2, v2)
         hn = rms_norm(h, dec_params["norm"], d.norm_eps)
         # tied-embedding logits: operands stay in param dtype with f32 MXU
         # accumulation — an explicit astype(f32) of the 131072x3072 table
@@ -223,6 +353,8 @@ def decode_scan(dec_params: dict, cfg: VoxtralConfig, state: DecodeState,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)[0]
         tok = jnp.argmax(logits).astype(jnp.int32)
+        if forced is not None:
+            tok = jnp.where(forced >= 0, forced, tok)
 
         new_prev = jnp.where(active, tok, prev)
         new_pos = jnp.where(active, pos + 1, pos)
@@ -235,24 +367,59 @@ def decode_scan(dec_params: dict, cfg: VoxtralConfig, state: DecodeState,
             aux = (vals, idxs.astype(jnp.int32), lse)
         else:
             aux = ()
-        return k2, v2, new_pos, new_prev, new_done, out_tok, aux
+        return (tuple(chunk_k), tuple(chunk_v), chunk_pos,
+                new_pos, new_prev, new_done, out_tok, aux)
 
-    vstep = jax.vmap(step_one, in_axes=(0, 0, 0, 0, 0, 0, 0, None))
+    forced_axis = None if forced_tokens is None else 0
+    vstep = jax.vmap(step_one,
+                     in_axes=(0, 0, 0, 0, 0, None, forced_axis,
+                              0, 0, 0, 0, 0, 0))
 
     def scan_body(carry, xs):
-        kr, vr, pos, prev, done = carry
-        frame_i, i = xs
-        kr, vr, pos, prev, done, tok, aux = vstep(
-            kr, vr, pos, prev, done, frame_i, n_valid, i)
-        return (kr, vr, pos, prev, done), (tok, aux)
+        chunk_k, chunk_v, chunk_pos, pos, prev, done = carry
+        if forced_tokens is None:
+            frame_i, i = xs
+            forced_i = None
+        else:
+            frame_i, forced_i, i = xs
+        chunk_k, chunk_v, chunk_pos, pos, prev, done, tok, aux = vstep(
+            pos, prev, done, frame_i, n_valid, i, forced_i,
+            k_rings, v_rings, ring_sp, chunk_k, chunk_v, chunk_pos)
+        return (chunk_k, chunk_v, chunk_pos, pos, prev, done), (tok, aux)
 
     frames_t = jnp.swapaxes(frames, 0, 1)          # [N, B, D]
-    carry = (state.k_ring, state.v_ring, state.pos, state.prev_token, state.done)
-    carry, (tokens, aux) = jax.lax.scan(
-        scan_body, carry, (frames_t, jnp.arange(n, dtype=jnp.int32)))
-    kr, vr, pos, prev, done = carry
-    new_state = DecodeState(k_ring=kr, v_ring=vr, pos=pos, prev_token=prev,
-                            done=done)
+    steps = jnp.arange(n, dtype=jnp.int32)
+    if forced_tokens is None:
+        xs = (frames_t, steps)
+    else:
+        xs = (frames_t, jnp.swapaxes(forced_tokens, 0, 1), steps)
+    rdt = state.k_ring[0].dtype
+    carry = (tuple(jnp.zeros((b, n, d.kv_dim), rdt) for _ in range(d.layers)),
+             tuple(jnp.zeros((b, n, d.kv_dim), rdt) for _ in range(d.layers)),
+             jnp.full((b, n), SLOT_INVALID, jnp.int32),
+             state.pos, state.prev_token, state.done)
+    carry, (tokens, aux) = jax.lax.scan(scan_body, carry, xs)
+    chunk_k, chunk_v, chunk_pos, pos, prev, done = carry
+
+    # Park this chunk as the new pending block (padded to Np). Cursor
+    # advances by the longest ACTIVE prefix, not the padded chunk length:
+    # trailing all-inactive columns are re-written by the next chunk, so a
+    # B=1 stream never lags its cursor (zero burn).
+    if n < np_:
+        pk = tuple(jax.lax.dynamic_update_slice(jnp.zeros_like(p), c, (0, 0, 0))
+                   for p, c in zip(state.pending_k, chunk_k))
+        pv = tuple(jax.lax.dynamic_update_slice(jnp.zeros_like(p), c, (0, 0, 0))
+                   for p, c in zip(state.pending_v, chunk_v))
+        psp = jax.lax.dynamic_update_slice(
+            jnp.full_like(state.pending_sp, SLOT_INVALID), chunk_pos, (0, 0))
+    else:
+        pk, pv, psp = chunk_k, chunk_v, chunk_pos
+    n_act = jnp.max(jnp.minimum(n_valid, n)).astype(jnp.int32)
+    new_state = state._replace(
+        k_ring=k_rings, v_ring=v_rings, slot_pos=ring_sp,
+        pending_k=pk, pending_v=pv, pending_sp=psp,
+        pending_adv=n_act, write_ctr=base,
+        pos=pos, prev_token=prev, done=done)
     tokens = jnp.swapaxes(tokens, 0, 1)            # [B, N]
     aux_out = {}
     if collect_topk > 0:

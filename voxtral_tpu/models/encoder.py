@@ -38,12 +38,13 @@ def conv_stem(enc_params: dict, mel: jax.Array) -> jax.Array:
 
 
 def _attn_block(lp: dict, x_norm: jax.Array, cfg, cos, sin):
-    """Shared QKV+RoPE computation. x_norm: [S, D] -> q [S,H,hd], k, v."""
-    s = x_norm.shape[0]
+    """Shared QKV+RoPE computation. x_norm: [..., S, D] -> q [..., S, H, hd],
+    k, v (leading batch dims preserved)."""
     e = cfg
-    q = (x_norm @ lp["wq"] + lp["wq_b"].astype(x_norm.dtype)).reshape(s, e.heads, e.head_dim)
-    k = (x_norm @ lp["wk"]).reshape(s, e.heads, e.head_dim)
-    v = (x_norm @ lp["wv"] + lp["wv_b"].astype(x_norm.dtype)).reshape(s, e.heads, e.head_dim)
+    hs = (*x_norm.shape[:-1], e.heads, e.head_dim)
+    q = (x_norm @ lp["wq"] + lp["wq_b"].astype(x_norm.dtype)).reshape(hs)
+    k = (x_norm @ lp["wk"]).reshape(hs)
+    v = (x_norm @ lp["wv"] + lp["wv_b"].astype(x_norm.dtype)).reshape(hs)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     return q, k, v
@@ -57,7 +58,7 @@ def encoder_forward(enc_params: dict, cfg: VoxtralConfig, h: jax.Array,
     positions = pos_start + jnp.arange(s)
     cos, sin = rope_angles(positions, e.head_dim, e.rope_theta)
 
-    def layer(h, lp):
+    for lp in enc_params["layers"]:
         x = rms_norm(h, lp["attn_norm"], e.norm_eps)
         q, k, v = _attn_block(lp, x, e, cos, sin)
         attn = windowed_attention(q, k, v, window=e.window)
@@ -65,91 +66,160 @@ def encoder_forward(enc_params: dict, cfg: VoxtralConfig, h: jax.Array,
         x = rms_norm(h, lp["ffn_norm"], e.norm_eps)
         ffn = (jax.nn.silu(x @ lp["w1"]) * (x @ lp["w3"])) @ lp["w2"]
         h = h + ffn + lp["w2_b"].astype(h.dtype)
-        return h, None
-
-    h, _ = jax.lax.scan(layer, h, enc_params["layers"])
     return rms_norm(h, enc_params["norm"], e.norm_eps)
 
 
-class EncoderState(NamedTuple):
-    """Incremental encoder KV ring. Slot addressing is pos % ring; ring size
-    must satisfy ring >= window + max_chunk so that after writing a chunk
-    the oldest in-window key is still resident.
+SLOT_INVALID = -(1 << 30)
 
-    Rings store heads MERGED into the last axis ([L, R, H*hd]) — with
+
+class EncoderState(NamedTuple):
+    """Batched incremental encoder KV ring (leading axis B = streams).
+
+    Same four design rules as the decoder (see models/decoder.py module
+    docstring): per-layer ring tuples, lockstep shared cursor with a
+    [B, P] slot->position table, fold-pending-before-read, and an Sp-slot
+    overflow margin (P = R + Sp, writes at ctr % R, R >= window + Sp).
+
+    Rings store heads MERGED into the last axis ([B, P, H*hd]) — with
     hd=64 < the 128-lane TPU tile, a [.., H, 64] layout would be padded 2x
-    in HBM; the merged 2048-wide axis is layout-clean. Attention reshapes
-    per-layer slices back to [R, H, hd] (a small VMEM-side temp)."""
-    k_ring: jax.Array   # [L, R, H*hd]
-    v_ring: jax.Array   # [L, R, H*hd]
-    next_pos: jax.Array  # scalar int32: number of positions processed
+    in HBM; the merged 2048-wide axis is layout-clean."""
+    k_ring: tuple        # L x [B, P, H*hd]
+    v_ring: tuple        # L x [B, P, H*hd]
+    slot_pos: jax.Array  # [B, P] int32 logical position per slot
+    pending_k: tuple       # L x [B, Sp, H*hd]
+    pending_v: tuple       # L x [B, Sp, H*hd]
+    pending_sp: jax.Array  # [B, Sp] int32
+    pending_adv: jax.Array  # [] int32
+    write_ctr: jax.Array  # [] int32 shared lockstep cursor
+    next_pos: jax.Array  # [B] int32: positions processed per stream
 
 
 def init_encoder_state(cfg: VoxtralConfig, ring_size: int = 1280,
-                       dtype=None) -> EncoderState:
+                       batch: int = 1, dtype=None,
+                       pending_size: int = 128) -> EncoderState:
     e = cfg.encoder
     dt = dtype or cfg.compute_dtype
-    shape = (e.layers, ring_size, e.attn_dim)
+    # Folding a pending block of Sp columns stomps Sp slots past the cursor;
+    # those must all be out-of-window, so Sp <= ring - window (which also
+    # bounds the max chunk, since a chunk needs window + chunk <= ring).
+    pending_size = min(pending_size, ring_size - e.window)
+    phys = ring_size + pending_size
     return EncoderState(
-        k_ring=jnp.zeros(shape, dt), v_ring=jnp.zeros(shape, dt),
-        next_pos=jnp.zeros((), jnp.int32))
+        k_ring=tuple(jnp.zeros((batch, phys, e.attn_dim), dt)
+                     for _ in range(e.layers)),
+        v_ring=tuple(jnp.zeros((batch, phys, e.attn_dim), dt)
+                     for _ in range(e.layers)),
+        slot_pos=jnp.full((batch, phys), SLOT_INVALID, jnp.int32),
+        pending_k=tuple(jnp.zeros((batch, pending_size, e.attn_dim), dt)
+                        for _ in range(e.layers)),
+        pending_v=tuple(jnp.zeros((batch, pending_size, e.attn_dim), dt)
+                        for _ in range(e.layers)),
+        pending_sp=jnp.full((batch, pending_size), SLOT_INVALID, jnp.int32),
+        pending_adv=jnp.zeros((), jnp.int32),
+        write_ctr=jnp.zeros((), jnp.int32),
+        next_pos=jnp.zeros((batch,), jnp.int32))
+
+
+def reset_encoder_streams(state: EncoderState, mask: jax.Array,
+                          reset_write_ctr: bool = False) -> EncoderState:
+    """Per-stream encoder reset: invalidate the slot tables, positions to 0.
+    reset_write_ctr only when ALL streams reset (B=1 streaming)."""
+    zero = jnp.zeros((), jnp.int32)
+    return state._replace(
+        slot_pos=jnp.where(mask[:, None], SLOT_INVALID, state.slot_pos),
+        pending_sp=jnp.where(mask[:, None], SLOT_INVALID, state.pending_sp),
+        pending_adv=zero if reset_write_ctr else state.pending_adv,
+        write_ctr=zero if reset_write_ctr else state.write_ctr,
+        next_pos=jnp.where(mask, 0, state.next_pos))
 
 
 def encoder_incremental(enc_params: dict, cfg: VoxtralConfig,
                         state: EncoderState, h_chunk: jax.Array,
                         n_valid: jax.Array | int | None = None):
-    """Process a chunk of S post-conv positions with the KV ring.
+    """Process a chunk of S post-conv positions per stream with the KV ring.
 
-    h_chunk: [S, D] (rows >= n_valid are padding and masked out of state).
-    Returns (new_state, out [S, D]) — rows >= n_valid are garbage.
-    Equivalent to vox_encoder_forward_incremental (voxtral_encoder.c:495-693).
+    h_chunk: [B, S, D] (rows >= n_valid are padding and masked out of state).
+    Returns (new_state, out [B, S, D]) — rows >= n_valid are garbage.
+    Equivalent to vox_encoder_forward_incremental (voxtral_encoder.c:495-693),
+    with the grow/compact cache replaced by the compile-once lockstep ring.
     """
     e = cfg.encoder
-    s = h_chunk.shape[0]
-    ring = state.k_ring.shape[1]
+    b, s, _ = h_chunk.shape
+    sp_cap = state.pending_sp.shape[1]
+    phys = state.k_ring[0].shape[1]
+    ring = phys - sp_cap          # logical ring = cursor modulus
     if s + e.window > ring:
         raise ValueError(
             f"chunk {s} + window {e.window} exceeds ring {ring}; "
             "older in-window keys would be overwritten")
-    start = state.next_pos
+    if s > sp_cap:
+        raise ValueError(f"chunk {s} exceeds pending capacity {sp_cap}")
     if n_valid is None:
-        n_valid = s
-    n_valid = jnp.asarray(n_valid, jnp.int32)
-    positions = start + jnp.arange(s, dtype=jnp.int32)
+        n_valid = jnp.full((b,), s, jnp.int32)
+    n_valid = jnp.broadcast_to(jnp.asarray(n_valid, jnp.int32), (b,))
+    rows = jnp.arange(s, dtype=jnp.int32)
+    positions = state.next_pos[:, None] + rows[None, :]        # [B, S]
     cos, sin = rope_angles(positions, e.head_dim, e.rope_theta)
-    # Padding rows park in a reserved scratch region: they write to the slot
-    # just past the window of live data, which the next real chunk overwrites
-    # before any masked-in read (see ops/attention.py ring docs).
-    valid_row = jnp.arange(s, dtype=jnp.int32) < n_valid
-    slots = jnp.where(valid_row, positions % ring, (start + n_valid) % ring)
-    last_pos = start + n_valid - 1
-    slot_pos = ring_slot_positions(last_pos, ring)
-    q_pos = positions
+    chunk_pos = jnp.where(rows[None, :] < n_valid[:, None],
+                          positions, SLOT_INVALID)             # [B, S]
 
-    layers = enc_params["layers"]
+    # Fold the previous chunk's pending KV into the rings BEFORE any ring
+    # read: ONE in-place dynamic_update_slice per ring at ctr % ring (the
+    # overflow margin guarantees no wrap; see models/decoder.py).
+    slot0 = state.write_ctr % ring
+    krs = tuple(jax.lax.dynamic_update_slice(kr, pk, (0, slot0, 0))
+                for kr, pk in zip(state.k_ring, state.pending_k))
+    vrs = tuple(jax.lax.dynamic_update_slice(vr, pv, (0, slot0, 0))
+                for vr, pv in zip(state.v_ring, state.pending_v))
+    rsp = jax.lax.dynamic_update_slice(
+        state.slot_pos, state.pending_sp, (0, slot0))
+    base = state.write_ctr + state.pending_adv
 
-    # fori_loop (not scan) over layers: the KV rings stay a single carry that
-    # XLA updates IN PLACE — a scan's stacked ys would double ring memory.
-    def body(l, carry):
-        h, krs, vrs = carry
-        lp = jax.tree.map(lambda a: a[l], layers)
+    def attend(q, k_r, v_r, sp, ck, cv, cp, qp):
+        return ring_decode_attention(
+            q, k_r.reshape(phys, e.heads, e.head_dim),
+            v_r.reshape(phys, e.heads, e.head_dim),
+            slot_pos=sp, q_pos=qp, window=e.window,
+            extra_kv=(ck.reshape(s, e.heads, e.head_dim),
+                      cv.reshape(s, e.heads, e.head_dim), cp))
+
+    vattend = jax.vmap(attend)
+
+    h = h_chunk
+    chunk_ks, chunk_vs = [], []
+    for l, lp in enumerate(enc_params["layers"]):
         x = rms_norm(h, lp["attn_norm"], e.norm_eps)
         q, k, v = _attn_block(lp, x, e, cos, sin)
-        krs = krs.at[l, slots].set(k.reshape(s, e.attn_dim).astype(krs.dtype))
-        vrs = vrs.at[l, slots].set(v.reshape(s, e.attn_dim).astype(vrs.dtype))
-        attn = ring_decode_attention(
-            q, krs[l].reshape(ring, e.heads, e.head_dim),
-            vrs[l].reshape(ring, e.heads, e.head_dim),
-            slot_pos=slot_pos, q_pos=q_pos, window=e.window)
-        h = h + attn.reshape(s, e.attn_dim) @ lp["wo"] + lp["wo_b"].astype(h.dtype)
+        kd = k.reshape(b, s, e.attn_dim).astype(krs[l].dtype)
+        vd = v.reshape(b, s, e.attn_dim).astype(vrs[l].dtype)
+        chunk_ks.append(kd)
+        chunk_vs.append(vd)
+        # Current chunk K/V ride as extra columns (intra-chunk causality via
+        # the position mask); the ring itself stays read-only.
+        attn = vattend(q, krs[l], vrs[l], rsp, kd, vd, chunk_pos,
+                       positions)
+        h = h + attn.reshape(b, s, e.attn_dim) @ lp["wo"] + lp["wo_b"].astype(h.dtype)
         x = rms_norm(h, lp["ffn_norm"], e.norm_eps)
         ffn = (jax.nn.silu(x @ lp["w1"]) * (x @ lp["w3"])) @ lp["w2"]
         h = h + ffn + lp["w2_b"].astype(h.dtype)
-        return (h, krs, vrs)
-
-    h, k_rings, v_rings = jax.lax.fori_loop(
-        0, e.layers, body, (h_chunk, state.k_ring, state.v_ring))
     out = rms_norm(h, enc_params["norm"], e.norm_eps)
-    new_state = EncoderState(k_ring=k_rings, v_ring=v_rings,
-                             next_pos=start + n_valid)
+
+    if s < sp_cap:
+        pk = tuple(jax.lax.dynamic_update_slice(jnp.zeros_like(p), c, (0, 0, 0))
+                   for p, c in zip(state.pending_k, chunk_ks))
+        pv = tuple(jax.lax.dynamic_update_slice(jnp.zeros_like(p), c, (0, 0, 0))
+                   for p, c in zip(state.pending_v, chunk_vs))
+        psp = jax.lax.dynamic_update_slice(
+            jnp.full_like(state.pending_sp, SLOT_INVALID), chunk_pos, (0, 0))
+    else:
+        pk, pv, psp = tuple(chunk_ks), tuple(chunk_vs), chunk_pos
+    # Cursor advances by the longest valid prefix: trailing padding columns
+    # are re-written by the next chunk, so a B=1 stream never lags its
+    # cursor (zero burn); heterogeneous fleets burn by their lag fraction.
+    new_state = EncoderState(
+        k_ring=krs, v_ring=vrs, slot_pos=rsp,
+        pending_k=pk, pending_v=pv, pending_sp=psp,
+        pending_adv=jnp.max(n_valid).astype(jnp.int32),
+        write_ctr=base,
+        next_pos=state.next_pos + n_valid)
     return new_state, out

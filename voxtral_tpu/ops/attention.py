@@ -29,23 +29,33 @@ _NEG_INF = float("-inf")
 
 
 def _gqa_scores(q: jax.Array, k: jax.Array) -> jax.Array:
-    """q: [S, H, hd], k: [Skv, Hkv, hd] -> scores [H, S, Skv] (f32)."""
+    """q: [S, H, hd], k: [Skv, Hkv, hd] -> scores [H, S, Skv] (f32).
+
+    Low-precision operands go to the dot DIRECTLY with f32 accumulation —
+    numerically identical to casting them to f32 first (the cast is exact
+    and the MXU accumulates in f32), but an explicit astype of the KV ring
+    would materialize a multi-GB f32 copy per decode step."""
     s, h, hd = q.shape
     skv, hkv, _ = k.shape
     group = h // hkv
-    qf = q.astype(jnp.float32).reshape(s, hkv, group, hd)
-    kf = k.astype(jnp.float32)
-    scores = jnp.einsum("sngd,tnd->ngst", qf, kf)  # [Hkv, G, S, Skv]
+    qg = q.reshape(s, hkv, group, hd)
+    scores = jnp.einsum("sngd,tnd->ngst", qg, k.astype(q.dtype),
+                        preferred_element_type=jnp.float32)
     return scores.reshape(h, s, skv)
 
 
 def _gqa_output(probs: jax.Array, v: jax.Array, out_dtype) -> jax.Array:
-    """probs: [H, S, Skv] f32, v: [Skv, Hkv, hd] -> [S, H, hd]."""
+    """probs: [H, S, Skv] f32, v: [Skv, Hkv, hd] -> [S, H, hd].
+
+    When V is low-precision, probs are cast DOWN to V's dtype for the MXU
+    pass (instead of casting the ring up to f32, which would materialize
+    it); accumulation stays f32. In f32 parity mode nothing is cast."""
     h, s, skv = probs.shape
     _, hkv, hd = v.shape
     group = h // hkv
-    p = probs.reshape(hkv, group, s, skv)
-    out = jnp.einsum("ngst,tnd->sngd", p, v.astype(jnp.float32))
+    p = probs.reshape(hkv, group, s, skv).astype(v.dtype)
+    out = jnp.einsum("ngst,tnd->sngd", p, v,
+                     preferred_element_type=jnp.float32)
     return out.reshape(s, h, hd).astype(out_dtype)
 
 
@@ -93,13 +103,19 @@ def ring_slot_positions(last_pos: jax.Array, ring_size: int) -> jax.Array:
 
 def ring_decode_attention(q: jax.Array, k_ring: jax.Array, v_ring: jax.Array, *,
                           slot_pos: jax.Array, q_pos: jax.Array,
-                          window: int) -> jax.Array:
+                          window: int, extra_kv=None) -> jax.Array:
     """Attention for S queries against a circular KV buffer.
 
     q: [S, H, hd] at absolute positions given by q_pos ([S] int or scalar
        when S == 1); k_ring/v_ring: [R, Hkv, hd]; slot_pos: [R] logical
        positions per slot (negative = invalid). Requires R >= window so the
        ring always covers the full attention window.
+
+    extra_kv: optional ([Sx, Hkv, hd], [Sx, Hkv, hd], kv_pos [Sx] int32)
+    of additional K/V columns at logical positions kv_pos (negative =
+    invalid), masked causally like ring slots. Used by the decode scan for
+    the current chunk's accumulated KV, which is kept out of the ring until
+    the scan finishes (the ring stays loop-invariant, see decoder.py).
     """
     if q.ndim == 2:
         q = q[None]
@@ -107,10 +123,24 @@ def ring_decode_attention(q: jax.Array, k_ring: jax.Array, v_ring: jax.Array, *,
     q_pos = jnp.asarray(q_pos, dtype=jnp.int32).reshape(-1)
     if q_pos.shape[0] == 1 and s > 1:
         q_pos = q_pos[0] + jnp.arange(s, dtype=jnp.int32)
-    scale = 1.0 / (q.shape[-1] ** 0.5)
-    scores = _gqa_scores(q, k_ring) * scale          # [H, S, R]
     qi = q_pos[:, None]                              # [S, 1]
     kj = slot_pos[None, :]                           # [1, R]
     mask = (kj >= 0) & (kj <= qi) & (kj >= qi - (window - 1))
-    probs = _masked_softmax(scores, mask)
-    return _gqa_output(probs, v_ring, q.dtype)
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    scores = _gqa_scores(q, k_ring) * scale          # [H, S, R]
+    if extra_kv is None:
+        probs = _masked_softmax(scores, mask)
+        return _gqa_output(probs, v_ring, q.dtype)
+    # Append the extra K/V as additional columns by concatenating SCORES
+    # (tiny) rather than KV — a KV concat would copy the whole ring slice
+    # every layer/step.
+    xk, xv, x_pos = extra_kv
+    scores_x = _gqa_scores(q, xk) * scale            # [H, S, Sx]
+    kj_x = x_pos[None, :]                            # [1, Sx]
+    mask_x = (kj_x >= 0) & (kj_x <= qi) & (kj_x >= qi - (window - 1))
+    probs = _masked_softmax(jnp.concatenate([scores, scores_x], axis=-1),
+                            jnp.concatenate([mask, mask_x], axis=-1))
+    r = k_ring.shape[0]
+    out = _gqa_output(probs[:, :, :r], v_ring, jnp.float32)
+    out_x = _gqa_output(probs[:, :, r:], xv, jnp.float32)
+    return (out + out_x).astype(q.dtype)

@@ -36,34 +36,39 @@ def make_mesh(n_data: int, n_model: int, devices=None) -> Mesh:
 
 
 def param_pspecs(cfg: VoxtralConfig) -> dict:
-    """PartitionSpec tree matching the param tree structure."""
+    """PartitionSpec tree matching the param tree structure (per-layer
+    dict tuples, see weights.py)."""
     rep = P()
-    enc_layers = {
+    enc_layer = {
         "attn_norm": rep, "ffn_norm": rep,
-        "wq": P(None, None, MODEL), "wq_b": P(None, MODEL),
-        "wk": P(None, None, MODEL),
-        "wv": P(None, None, MODEL), "wv_b": P(None, MODEL),
-        "wo": P(None, MODEL, None), "wo_b": rep,
-        "w1": P(None, None, MODEL), "w2": P(None, MODEL, None), "w2_b": rep,
-        "w3": P(None, None, MODEL),
+        "wq": P(None, MODEL), "wq_b": P(MODEL),
+        "wk": P(None, MODEL),
+        "wv": P(None, MODEL), "wv_b": P(MODEL),
+        "wo": P(MODEL, None), "wo_b": rep,
+        "w1": P(None, MODEL), "w2": P(MODEL, None), "w2_b": rep,
+        "w3": P(None, MODEL),
     }
-    dec_layers = {
+    dec_layer = {
         "attn_norm": rep, "ffn_norm": rep,
-        "wq": P(None, None, MODEL), "wk": P(None, None, MODEL),
-        "wv": P(None, None, MODEL), "wo": P(None, MODEL, None),
-        "w1": P(None, None, MODEL), "w2": P(None, MODEL, None),
-        "w3": P(None, None, MODEL),
+        "wq": P(None, MODEL), "wk": P(None, MODEL),
+        "wv": P(None, MODEL), "wo": P(MODEL, None),
+        "w1": P(None, MODEL), "w2": P(MODEL, None),
+        "w3": P(None, MODEL),
         "ada_down": rep, "ada_up": rep,
     }
     return {
         "encoder": {
             "conv0_w": rep, "conv0_b": rep, "conv1_w": rep, "conv1_b": rep,
-            "layers": enc_layers, "norm": rep,
+            "layers": tuple(dict(enc_layer)
+                            for _ in range(cfg.encoder.layers)),
+            "norm": rep,
         },
         "adapter": {"w0": P(None, MODEL), "w1": P(MODEL, None)},
         "decoder": {
             "embed": P(MODEL, None),   # vocab-sharded tied embeddings
-            "layers": dec_layers, "norm": rep,
+            "layers": tuple(dict(dec_layer)
+                            for _ in range(cfg.decoder.layers)),
+            "norm": rep,
         },
     }
 
@@ -73,15 +78,28 @@ def fleet_state_pspecs(cfg: VoxtralConfig) -> "FleetStatePspecs":
     'data', KV heads on 'model'."""
     from voxtral_tpu.runtime.fleet import FleetState
     from voxtral_tpu.models.decoder import DecodeState
+    from voxtral_tpu.models.encoder import EncoderState
+    # per-layer ring tuples; merged head axis is head-sharded
+    ring = P(DATA, None, MODEL)
+    enc_l, dec_l = cfg.encoder.layers, cfg.decoder.layers
     return FleetState(
         mel_tail=P(DATA),
         conv0_tail=P(DATA),
-        enc_k=P(DATA, None, None, MODEL),   # merged head axis, head-sharded
-        enc_v=P(DATA, None, None, MODEL),
-        enc_pos=P(DATA),
+        encoder=EncoderState(
+            k_ring=(ring,) * enc_l,
+            v_ring=(ring,) * enc_l,
+            slot_pos=P(DATA),
+            pending_k=(ring,) * enc_l,
+            pending_v=(ring,) * enc_l,
+            pending_sp=P(DATA), pending_adv=P(), write_ctr=P(),
+            next_pos=P(DATA)),
         decode=DecodeState(
-            k_ring=P(DATA, None, None, MODEL),
-            v_ring=P(DATA, None, None, MODEL),
+            k_ring=(ring,) * dec_l,
+            v_ring=(ring,) * dec_l,
+            slot_pos=P(DATA),
+            pending_k=(ring,) * dec_l,
+            pending_v=(ring,) * dec_l,
+            pending_sp=P(DATA), pending_adv=P(), write_ctr=P(),
             pos=P(DATA), prev_token=P(DATA), done=P(DATA)),
     )
 

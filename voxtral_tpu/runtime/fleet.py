@@ -38,28 +38,28 @@ from voxtral_tpu.models.encoder import (
 class FleetState(NamedTuple):
     mel_tail: jax.Array    # [B, mel_bins, 2]
     conv0_tail: jax.Array  # [B, enc_dim, 2]
-    enc_k: jax.Array       # [B, L, R, H, hd]
-    enc_v: jax.Array       # [B, L, R, H, hd]
-    enc_pos: jax.Array     # [B]
+    encoder: EncoderState  # batched
     decode: DecodeState    # batched
 
 
 def init_fleet_state(cfg: VoxtralConfig, batch: int, *, enc_ring: int = 1280,
-                     dec_ring: int | None = None, dtype=None) -> FleetState:
+                     dec_ring: int | None = None, dtype=None,
+                     max_mel_chunk: int = 320) -> FleetState:
+    """max_mel_chunk: the largest mel chunk any step will see (including
+    bootstrap) — it sizes the pending KV blocks (mel/2 encoder positions,
+    mel/8 decoder tokens). Folding stays exact as long as the pending fits
+    the ring's out-of-window margin (see models/decoder.py)."""
     dt = dtype or cfg.compute_dtype
     e, d = cfg.encoder, cfg.decoder
-    dec_ring = dec_ring or d.window
-    dec = init_decode_state(cfg, batch=batch, dtype=dt)
-    if dec_ring != d.window:
-        shape = (batch, d.layers, dec_ring, d.kv_dim)
-        dec = dec._replace(k_ring=jnp.zeros(shape, dt),
-                           v_ring=jnp.zeros(shape, dt))
+    dec = init_decode_state(cfg, batch=batch, dtype=dt,
+                            ring_size=dec_ring,
+                            pending_size=max_mel_chunk // 8)
     return FleetState(
         mel_tail=jnp.zeros((batch, cfg.audio.mel_bins, 2), jnp.float32),
         conv0_tail=jnp.zeros((batch, e.dim, 2), jnp.float32),
-        enc_k=jnp.zeros((batch, e.layers, enc_ring, e.attn_dim), dt),
-        enc_v=jnp.zeros((batch, e.layers, enc_ring, e.attn_dim), dt),
-        enc_pos=jnp.zeros((batch,), jnp.int32),
+        encoder=init_encoder_state(cfg, ring_size=enc_ring, batch=batch,
+                                   dtype=dt,
+                                   pending_size=max_mel_chunk // 2),
         decode=dec,
     )
 
@@ -95,15 +95,7 @@ def fleet_step(params, cfg: VoxtralConfig, state: FleetState,
     c = _batched_causal_conv(x1, enc_p["conv1_w"], enc_p["conv1_b"], 2, 1)
     h = jnp.swapaxes(c, 1, 2).astype(cfg.compute_dtype)      # [B, T/2, D]
 
-    # batched incremental encoder
-    def enc_one(k, v, pos, hh):
-        st = EncoderState(k_ring=k, v_ring=v, next_pos=pos)
-        st2, out = encoder_incremental(enc_p, cfg, st, hh)
-        return st2.k_ring, st2.v_ring, st2.next_pos, out
-
-    ek, ev, epos, enc_out = jax.vmap(enc_one)(
-        state.enc_k, state.enc_v, state.enc_pos, h)
-
+    enc_state, enc_out = encoder_incremental(enc_p, cfg, state.encoder, h)
     frames = jax.vmap(lambda e: adapter_forward(params["adapter"], cfg, e))(
         enc_out)                                             # [B, T/8, Dd]
 
@@ -116,7 +108,7 @@ def fleet_step(params, cfg: VoxtralConfig, state: FleetState,
     new_state = FleetState(
         mel_tail=mel[:, :, -2:],
         conv0_tail=y[:, :, -2:],
-        enc_k=ek, enc_v=ev, enc_pos=epos,
+        encoder=enc_state,
         decode=dec)
     return new_state, tokens, aux
 
@@ -140,13 +132,7 @@ def fleet_bootstrap(params, cfg: VoxtralConfig, state: FleetState,
     c = _batched_causal_conv(x1, enc_p["conv1_w"], enc_p["conv1_b"], 2, 1)
     h = jnp.swapaxes(c, 1, 2).astype(cfg.compute_dtype)
 
-    def enc_one(k, v, pos, hh):
-        st = EncoderState(k_ring=k, v_ring=v, next_pos=pos)
-        st2, out = encoder_incremental(enc_p, cfg, st, hh)
-        return st2.k_ring, st2.v_ring, st2.next_pos, out
-
-    ek, ev, epos, enc_out = jax.vmap(enc_one)(
-        state.enc_k, state.enc_v, state.enc_pos, h)
+    enc_state, enc_out = encoder_incremental(enc_p, cfg, state.encoder, h)
     frames = jax.vmap(lambda e: adapter_forward(params["adapter"], cfg, e))(
         enc_out)
     st = cfg.streaming
@@ -163,7 +149,7 @@ def fleet_bootstrap(params, cfg: VoxtralConfig, state: FleetState,
         params["decoder"], cfg, dec, rest, jnp.full((b,), n, jnp.int32),
         t_ada, stop_at_eos=stop_at_eos)
     new_state = FleetState(mel_tail=mel[:, :, -2:], conv0_tail=y[:, :, -2:],
-                           enc_k=ek, enc_v=ev, enc_pos=epos, decode=dec)
+                           encoder=enc_state, decode=dec)
     return new_state, tokens, aux
 
 

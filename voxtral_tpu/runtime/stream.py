@@ -36,12 +36,18 @@ from voxtral_tpu.models.decoder import (
     ada_scales, decode_scan, decoder_prefill, init_decode_state,
     time_conditioning,
 )
-from voxtral_tpu.models.encoder import encoder_incremental, init_encoder_state
+from voxtral_tpu.models.encoder import (
+    EncoderState, encoder_incremental, init_encoder_state,
+)
+from voxtral_tpu.models.decoder import DecodeState
 from voxtral_tpu.ops.conv import causal_conv1d
 
 # Shape buckets (mel frames per conv dispatch; decode steps per scan)
-MEL_BUCKETS = (64, 128, 256, 512)
-DECODE_BUCKETS = (8, 16, 32, 64, 128, 256, 512)
+# Bucket caps are bounded by the pending-KV block sizes (the fold is a
+# chain of per-slot in-place updates whose length is the pending capacity;
+# see models/decoder.py) — 256 mel frames -> <=128 encoder positions.
+MEL_BUCKETS = (64, 128, 256)
+DECODE_BUCKETS = (8, 16, 32, 64)
 FIRST_CHUNK_MIN_MEL = 312        # covers the 39-token prompt (voxtral.c:405)
 MAX_DECODE_KV = 2000             # forced-restart KV bound (voxtral.c:412)
 MAX_NON_TEXT_STREAK = 64
@@ -72,9 +78,8 @@ def _conv1_chunk(w, b, x):
     return jax.nn.gelu(y, approximate=False)[:, 1:]
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
-def _encoder_chunk(enc_params, cfg, state, h, n_valid):
-    return encoder_incremental(enc_params, cfg, state, h, n_valid)
+_encoder_chunk = jax.jit(encoder_incremental, static_argnames=("cfg",),
+                         donate_argnums=(2,))
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -153,7 +158,8 @@ class VoxStream:
         self.mel_tail = np.zeros((cfg.audio.mel_bins, 2), np.float32)
         self.conv0_tail = jnp.zeros((cfg.encoder.dim, 2), cfg.compute_dtype)
         self.conv0_residual = None        # [enc_dim, 1] device array or None
-        self.enc_state = init_encoder_state(cfg, ring_size=self.sc.ring_size)
+        self.enc_state = init_encoder_state(cfg, ring_size=self.sc.ring_size,
+                                            batch=1)
         self.enc_residual: list = []      # device arrays, total rows <= 3
         self.enc_residual_rows = 0
 
@@ -174,7 +180,8 @@ class VoxStream:
         Ring contents stay — pos := 0 masks them out."""
         from voxtral_tpu.models.decoder import reset_streams
         self.decode_state = reset_streams(
-            self.decode_state, jnp.asarray([True]), self.cfg.streaming.bos)
+            self.decode_state, jnp.asarray([True]), self.cfg.streaming.bos,
+            reset_write_ctr=True)
         self.backlog = []
         self.backlog_rows = 0
         self.decoder_started = False
@@ -332,9 +339,9 @@ class VoxStream:
         h_pad = jnp.zeros((sb, cfg.encoder.dim), cfg.compute_dtype)
         h_pad = h_pad.at[:s].set(h.astype(cfg.compute_dtype))
         self.enc_state, enc_out = _encoder_chunk(
-            self.params["encoder"], cfg, self.enc_state, h_pad,
+            self.params["encoder"], cfg, self.enc_state, h_pad[None],
             jnp.asarray(s, jnp.int32))
-        enc_out = enc_out[:s]
+        enc_out = enc_out[0][:s]
 
         # 4x-downsample alignment with residual carry (voxtral.c:869-934)
         total_enc = self.enc_residual_rows + s

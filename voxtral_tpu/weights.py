@@ -9,8 +9,11 @@ NamedShardings — no f32 detour.
 Layout conventions of the param tree:
 - Linear weights are stored [in_features, out_features] (x @ w), i.e. the
   transpose of the safetensors [out, in] layout.
-- Per-layer tensors are STACKED along a leading layer axis so the model can
-  lax.scan over layers and shardings apply uniformly.
+- "layers" is a TUPLE of per-layer dicts (NOT stacked along a layer axis):
+  on TPU a dot cannot read a slice of a stacked [L, ...] array in place —
+  XLA materializes a copy of every layer's weights inside the decode loop
+  (+2.8 GiB temp, ~56 GB of extra HBM traffic per chunk). Separate per-layer
+  buffers are read by the MXU directly.
 - Norm weights, conv stem, and biases stay float32 in every mode (matching
   the reference's precision rules, python_simple_implementation.py:499-513).
 
@@ -230,20 +233,11 @@ def load_params(path: str, cfg: VoxtralConfig, *, device_put: bool = True,
     def leaf_dtype(key):
         return np.float32 if key in _F32_KEYS else dt
 
-    def stack(layer_names_fn, n_layers):
-        out: dict[str, Any] = {}
-        for i in range(n_layers):
-            for key, (name, transpose) in layer_names_fn(i).items():
-                leaf = _get(sf, name, transpose, leaf_dtype(key))
-                out.setdefault(key, []).append(leaf)
-        stacked = {}
-        for key, leaves in out.items():
-            if isinstance(leaves[0], Quantized):
-                stacked[key] = Quantized(q=np.stack([l.q for l in leaves]),
-                                         s=np.stack([l.s for l in leaves]))
-            else:
-                stacked[key] = np.stack(leaves)
-        return stacked
+    def layer_list(layer_names_fn, n_layers):
+        return tuple(
+            {key: _get(sf, name, transpose, leaf_dtype(key))
+             for key, (name, transpose) in layer_names_fn(i).items()}
+            for i in range(n_layers))
 
     def conv_w(name):
         # stored [K, I, O]: a trailing K=3 axis would be lane-padded to 128
@@ -256,7 +250,7 @@ def load_params(path: str, cfg: VoxtralConfig, *, device_put: bool = True,
             "conv0_b": sf.tensor_f32(f"{ENC_PREFIX}.conv_layers.0.conv.bias"),
             "conv1_w": conv_w(f"{ENC_PREFIX}.conv_layers.1.conv.weight"),
             "conv1_b": sf.tensor_f32(f"{ENC_PREFIX}.conv_layers.1.conv.bias"),
-            "layers": stack(encoder_layer_names, cfg.encoder.layers),
+            "layers": layer_list(encoder_layer_names, cfg.encoder.layers),
             "norm": sf.tensor_f32(f"{ENC_PREFIX}.transformer.norm.weight"),
         },
         "adapter": {
@@ -265,7 +259,7 @@ def load_params(path: str, cfg: VoxtralConfig, *, device_put: bool = True,
         },
         "decoder": {
             "embed": _get(sf, EMB_NAME, False, dt),
-            "layers": stack(decoder_layer_names, cfg.decoder.layers),
+            "layers": layer_list(decoder_layer_names, cfg.decoder.layers),
             "norm": sf.tensor_f32("norm.weight"),
         },
     }
@@ -305,31 +299,28 @@ def random_params(cfg: VoxtralConfig, seed: int = 0, scale: float = 0.02,
         return r(*shape, dt=jnp.float32)
 
     L, D, A, H = e.layers, e.dim, e.attn_dim, e.hidden
-    enc_layers = {
-        "attn_norm": f32(L, D, const=1.0), "ffn_norm": f32(L, D, const=1.0),
-        "wq": r(L, D, A), "wq_b": f32(L, A), "wk": r(L, D, A),
-        "wv": r(L, D, A), "wv_b": f32(L, A), "wo": r(L, A, D), "wo_b": f32(L, D),
-        "w1": r(L, D, H), "w2": r(L, H, D), "w2_b": f32(L, D), "w3": r(L, D, H),
-    }
     # Norm weights get small random perturbation around 1 so tests catch
     # misapplied norms; biases small random so tests catch dropped biases.
-    for k in ("attn_norm", "ffn_norm"):
-        enc_layers[k] = enc_layers[k] + r(L, D, dt=jnp.float32)
-    for k in ("wq_b", "wv_b"):
-        enc_layers[k] = r(L, A, dt=jnp.float32)
-    for k in ("wo_b", "w2_b"):
-        enc_layers[k] = r(L, D, dt=jnp.float32)
+    enc_layers = tuple({
+        "attn_norm": f32(D, const=1.0) + r(D, dt=jnp.float32),
+        "ffn_norm": f32(D, const=1.0) + r(D, dt=jnp.float32),
+        "wq": r(D, A), "wq_b": r(A, dt=jnp.float32), "wk": r(D, A),
+        "wv": r(D, A), "wv_b": r(A, dt=jnp.float32),
+        "wo": r(A, D), "wo_b": r(D, dt=jnp.float32),
+        "w1": r(D, H), "w2": r(H, D), "w2_b": r(D, dt=jnp.float32),
+        "w3": r(D, H),
+    } for _ in range(L))
 
     Ld, Dd, Qd, Kd, Hd = d.layers, d.dim, d.q_dim, d.kv_dim, d.hidden
-    dec_layers = {
-        "attn_norm": f32(Ld, Dd, const=1.0) + r(Ld, Dd, dt=jnp.float32),
-        "ffn_norm": f32(Ld, Dd, const=1.0) + r(Ld, Dd, dt=jnp.float32),
-        "wq": r(Ld, Dd, Qd), "wk": r(Ld, Dd, Kd), "wv": r(Ld, Dd, Kd),
-        "wo": r(Ld, Qd, Dd), "w1": r(Ld, Dd, Hd), "w2": r(Ld, Hd, Dd),
-        "w3": r(Ld, Dd, Hd),
-        "ada_down": r(Ld, Dd, d.ada_dim, dt=jnp.float32),
-        "ada_up": r(Ld, d.ada_dim, Dd, dt=jnp.float32),
-    }
+    dec_layers = tuple({
+        "attn_norm": f32(Dd, const=1.0) + r(Dd, dt=jnp.float32),
+        "ffn_norm": f32(Dd, const=1.0) + r(Dd, dt=jnp.float32),
+        "wq": r(Dd, Qd), "wk": r(Dd, Kd), "wv": r(Dd, Kd),
+        "wo": r(Qd, Dd), "w1": r(Dd, Hd), "w2": r(Hd, Dd),
+        "w3": r(Dd, Hd),
+        "ada_down": r(Dd, d.ada_dim, dt=jnp.float32),
+        "ada_up": r(d.ada_dim, Dd, dt=jnp.float32),
+    } for _ in range(Ld))
     return {
         "encoder": {
             "conv0_w": r(e.conv_kernel, cfg.audio.mel_bins, D, dt=jnp.float32),
@@ -357,35 +348,37 @@ def param_shapes(cfg: VoxtralConfig) -> dict:
 
     L, D, A, H = e.layers, e.dim, e.attn_dim, e.hidden
     Ld, Dd, Qd, Kd, Hd = d.layers, d.dim, d.q_dim, d.kv_dim, d.hidden
+    enc_layer = {
+        "attn_norm": s((D,), f32), "ffn_norm": s((D,), f32),
+        "wq": s((D, A), pd), "wq_b": s((A,), f32),
+        "wk": s((D, A), pd),
+        "wv": s((D, A), pd), "wv_b": s((A,), f32),
+        "wo": s((A, D), pd), "wo_b": s((D,), f32),
+        "w1": s((D, H), pd), "w2": s((H, D), pd),
+        "w2_b": s((D,), f32), "w3": s((D, H), pd),
+    }
+    dec_layer = {
+        "attn_norm": s((Dd,), f32), "ffn_norm": s((Dd,), f32),
+        "wq": s((Dd, Qd), pd), "wk": s((Dd, Kd), pd),
+        "wv": s((Dd, Kd), pd), "wo": s((Qd, Dd), pd),
+        "w1": s((Dd, Hd), pd), "w2": s((Hd, Dd), pd),
+        "w3": s((Dd, Hd), pd),
+        "ada_down": s((Dd, d.ada_dim), f32),
+        "ada_up": s((d.ada_dim, Dd), f32),
+    }
     return {
         "encoder": {
             "conv0_w": s((e.conv_kernel, cfg.audio.mel_bins, D), f32),
             "conv0_b": s((D,), f32),
             "conv1_w": s((e.conv_kernel, D, D), f32), "conv1_b": s((D,), f32),
-            "layers": {
-                "attn_norm": s((L, D), f32), "ffn_norm": s((L, D), f32),
-                "wq": s((L, D, A), pd), "wq_b": s((L, A), f32),
-                "wk": s((L, D, A), pd),
-                "wv": s((L, D, A), pd), "wv_b": s((L, A), f32),
-                "wo": s((L, A, D), pd), "wo_b": s((L, D), f32),
-                "w1": s((L, D, H), pd), "w2": s((L, H, D), pd),
-                "w2_b": s((L, D), f32), "w3": s((L, D, H), pd),
-            },
+            "layers": tuple(dict(enc_layer) for _ in range(L)),
             "norm": s((D,), f32),
         },
         "adapter": {"w0": s((cfg.adapter_in, cfg.adapter_hidden), pd),
                     "w1": s((cfg.adapter_hidden, Dd), pd)},
         "decoder": {
             "embed": s((d.vocab_size, Dd), pd),
-            "layers": {
-                "attn_norm": s((Ld, Dd), f32), "ffn_norm": s((Ld, Dd), f32),
-                "wq": s((Ld, Dd, Qd), pd), "wk": s((Ld, Dd, Kd), pd),
-                "wv": s((Ld, Dd, Kd), pd), "wo": s((Ld, Qd, Dd), pd),
-                "w1": s((Ld, Dd, Hd), pd), "w2": s((Ld, Hd, Dd), pd),
-                "w3": s((Ld, Dd, Hd), pd),
-                "ada_down": s((Ld, Dd, d.ada_dim), f32),
-                "ada_up": s((Ld, d.ada_dim, Dd), f32),
-            },
+            "layers": tuple(dict(dec_layer) for _ in range(Ld)),
             "norm": s((Dd,), f32),
         },
     }
@@ -397,23 +390,24 @@ def random_params_device(cfg: VoxtralConfig, seed: int = 0,
     synthetic benchmarks at full 4B size. Norm weights init to 1."""
     shapes = param_shapes(cfg)
     leaves, treedef = jax.tree.flatten(shapes)
-    keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
-    shard_leaves = (jax.tree.flatten(shardings)[0] if shardings is not None
-                    else [None] * len(leaves))
-    out = []
-    for i, (leaf, key) in enumerate(zip(leaves, keys)):
-        def make(k, sds=leaf):
-            return (jax.random.normal(k, sds.shape, jnp.float32)
-                    * scale).astype(sds.dtype)
-        fn = jax.jit(make, out_shardings=shard_leaves[i]) \
-            if shard_leaves[i] is not None else jax.jit(make)
-        out.append(fn(key))
+
+    def make_all(key):
+        keys = jax.random.split(key, len(leaves))
+        return [(jax.random.normal(k, l.shape, jnp.float32)
+                 * scale).astype(l.dtype) for k, l in zip(keys, leaves)]
+
+    out_shardings = (jax.tree.flatten(shardings)[0]
+                     if shardings is not None else None)
+    fn = (jax.jit(make_all, out_shardings=out_shardings)
+          if out_shardings is not None else jax.jit(make_all))
+    out = fn(jax.random.PRNGKey(seed))
     params = jax.tree.unflatten(treedef, out)
     # norm weights ~1 for sane activations
     for sec in ("encoder", "decoder"):
-        lp = params[sec]["layers"]
-        lp["attn_norm"] = lp["attn_norm"] + 1.0
-        lp["ffn_norm"] = lp["ffn_norm"] + 1.0
+        params[sec]["layers"] = tuple(
+            {**lp, "attn_norm": lp["attn_norm"] + 1.0,
+             "ffn_norm": lp["ffn_norm"] + 1.0}
+            for lp in params[sec]["layers"])
         params[sec]["norm"] = params[sec]["norm"] + 1.0
     return params
 
@@ -438,13 +432,13 @@ def params_to_safetensors(params: dict, cfg: VoxtralConfig, path: str) -> None:
     put(f"{ENC_PREFIX}.conv_layers.1.conv.bias", enc["conv1_b"], False)
     for i in range(cfg.encoder.layers):
         for key, (name, transpose) in encoder_layer_names(i).items():
-            put(name, enc["layers"][key][i], transpose)
+            put(name, enc["layers"][i][key], transpose)
     put(f"{ENC_PREFIX}.transformer.norm.weight", enc["norm"], False)
     put(f"{ADA_PREFIX}.0.weight", ada["w0"], True)
     put(f"{ADA_PREFIX}.2.weight", ada["w1"], True)
     put(EMB_NAME, dec["embed"], False)
     for i in range(cfg.decoder.layers):
         for key, (name, transpose) in decoder_layer_names(i).items():
-            put(name, dec["layers"][key][i], transpose)
+            put(name, dec["layers"][i][key], transpose)
     put("norm.weight", dec["norm"], False)
     save_safetensors(path, t)
