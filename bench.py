@@ -86,25 +86,35 @@ def main():
                        time_conditioning(cfg.streaming.delay_tokens,
                                          cfg.decoder.dim))
 
-    batch = int(os.environ.get("VOX_BENCH_STREAMS", "8"))
+    q8 = os.environ.get("VOX_BENCH_Q8", "1") == "1"
+    if q8:
+        from voxtral_tpu.quant import quantize_params
+        t0 = time.perf_counter()
+        params = quantize_params(params)
+        jax.block_until_ready(params)
+        log(f"  quantized to Q8 (int8 + per-row scales) in "
+            f"{time.perf_counter() - t0:.1f}s")
+
+    batch = int(os.environ.get("VOX_BENCH_STREAMS", "12" if q8 else "8"))
     chunk_mel = int(os.environ.get("VOX_BENCH_CHUNK_MEL", "160"))
 
     log(f"fleet: {batch} streams x {chunk_mel/100:.1f}s chunks "
-        f"(dec ring 2048, enc ring 1024)")
+        f"(dec ring 2048, enc ring 912, {'Q8' if q8 else 'bf16'} weights)")
     fleet = bench_fleet(params, cfg, t_ada, batch, chunk_mel,
-                        enc_ring=1024, dec_ring=2048)
+                        enc_ring=912, dec_ring=2048)
     log(f"  {fleet['audio_s_per_s']:.1f} audio-s/s | step {fleet['step_ms']:.1f} ms "
         f"| {fleet['ms_per_token']:.2f} ms/token (batched)")
 
     log("single stream (B=1):")
     single = bench_fleet(params, cfg, t_ada, 1, chunk_mel,
-                         enc_ring=1024, dec_ring=2048, warmup=2, iters=6)
+                         enc_ring=912, dec_ring=2048, warmup=2, iters=6)
     log(f"  {single['audio_s_per_s']:.1f} audio-s/s | "
         f"{single['ms_per_token']:.2f} ms/token")
 
     value = fleet["audio_s_per_s"]
     print(json.dumps({
-        "metric": f"audio_seconds_per_second_per_chip_{batch}streams",
+        "metric": f"audio_seconds_per_second_per_chip_{batch}streams"
+                  + ("_q8" if q8 else ""),
         "value": round(value, 2),
         "unit": "audio_s/s",
         "vs_baseline": round(value / BASELINE_AUDIO_S_PER_S, 2),

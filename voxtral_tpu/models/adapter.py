@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from voxtral_tpu.config import VoxtralConfig
+from voxtral_tpu.ops.linear import linear
 
 
 def adapter_forward(ada_params: dict, cfg: VoxtralConfig,
@@ -19,5 +20,5 @@ def adapter_forward(ada_params: dict, cfg: VoxtralConfig,
     s, d = enc_out.shape
     ds = cfg.downsample
     x = enc_out.reshape(s // ds, d * ds)
-    x = jax.nn.gelu(x @ ada_params["w0"], approximate=False)
-    return x @ ada_params["w1"]
+    x = jax.nn.gelu(linear(x, ada_params["w0"]), approximate=False)
+    return linear(x, ada_params["w1"])

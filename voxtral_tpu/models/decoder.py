@@ -66,6 +66,8 @@ from voxtral_tpu.ops import apply_rope, rms_norm, rope_angles
 from voxtral_tpu.ops.attention import (
     ring_decode_attention, windowed_attention,
 )
+from voxtral_tpu.ops.linear import embed_logits, embed_lookup, linear
+from voxtral_tpu.quant import Quantized, dequantize
 
 SLOT_INVALID = -(1 << 30)
 
@@ -83,8 +85,13 @@ def ada_scales(dec_params: dict, t_cond: jax.Array) -> jax.Array:
     """Precompute per-layer ada scales [L, D] once per delay setting
     (the reference computes this at load: voxtral.c:57-79)."""
     tc = t_cond.astype(jnp.float32)
-    rows = [jax.nn.gelu(tc @ lp["ada_down"].astype(jnp.float32),
-                        approximate=False) @ lp["ada_up"].astype(jnp.float32)
+
+    def f32w(w):
+        return dequantize(w) if isinstance(w, Quantized) \
+            else w.astype(jnp.float32)
+
+    rows = [jax.nn.gelu(tc @ f32w(lp["ada_down"]), approximate=False)
+            @ f32w(lp["ada_up"])
             for lp in dec_params["layers"]]
     return jnp.stack(rows)
 
@@ -186,9 +193,9 @@ def _fold_pending(state: DecodeState):
 def _layer_matmuls(lp, x, cfg):
     d = cfg
     s = x.shape[0]
-    q = (x @ lp["wq"]).reshape(s, d.heads, d.head_dim)
-    k = (x @ lp["wk"]).reshape(s, d.kv_heads, d.head_dim)
-    v = (x @ lp["wv"]).reshape(s, d.kv_heads, d.head_dim)
+    q = linear(x, lp["wq"]).reshape(s, d.heads, d.head_dim)
+    k = linear(x, lp["wk"]).reshape(s, d.kv_heads, d.head_dim)
+    v = linear(x, lp["wv"]).reshape(s, d.kv_heads, d.head_dim)
     return q, k, v
 
 
@@ -222,10 +229,11 @@ def decoder_prefill(dec_params: dict, cfg: VoxtralConfig, state: DecodeState,
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
             attn = windowed_attention(q, k, v, window=d.window)
-            h = h + attn.reshape(s, d.q_dim) @ lp["wo"]
+            h = h + linear(attn.reshape(s, d.q_dim), lp["wo"])
             x = rms_norm(h, lp["ffn_norm"], d.norm_eps)
             x = x * (1.0 + t_ada[l].astype(x.dtype))[None, :]
-            h = h + (jax.nn.silu(x @ lp["w1"]) * (x @ lp["w3"])) @ lp["w2"]
+            h = h + linear(jax.nn.silu(linear(x, lp["w1"]))
+                           * linear(x, lp["w3"]), lp["w2"])
             ks.append(k.reshape(s, d.kv_dim))
             vs.append(v.reshape(s, d.kv_dim))
         return tuple(ks), tuple(vs)
@@ -315,7 +323,7 @@ def decode_scan(dec_params: dict, cfg: VoxtralConfig, state: DecodeState,
         scan's accumulated KV; chunk_pos: [N] logical positions."""
         active = jnp.logical_and(i < nv, jnp.logical_not(done)) if stop_at_eos \
             else (i < nv)
-        tok_emb = embed[prev].astype(jnp.float32)
+        tok_emb = embed_lookup(embed, prev)
         h = (frame.astype(jnp.float32) + tok_emb)[None].astype(cfg.compute_dtype)
         cos, sin = rope_angles(pos[None], d.head_dim, d.rope_theta)
         chunk_pos = chunk_pos.at[i].set(jnp.where(active, pos, SLOT_INVALID))
@@ -339,19 +347,14 @@ def decode_scan(dec_params: dict, cfg: VoxtralConfig, state: DecodeState,
                 extra_kv=(ck.reshape(n, d.kv_heads, d.head_dim),
                           cv.reshape(n, d.kv_heads, d.head_dim),
                           chunk_pos))
-            h = h + attn.reshape(1, d.q_dim) @ lp["wo"]
+            h = h + linear(attn.reshape(1, d.q_dim), lp["wo"])
             x = rms_norm(h, lp["ffn_norm"], d.norm_eps)
             x = x * (1.0 + ada.astype(x.dtype))[None, :]
-            h = h + (jax.nn.silu(x @ lp["w1"]) * (x @ lp["w3"])) @ lp["w2"]
+            h = h + linear(jax.nn.silu(linear(x, lp["w1"]))
+                           * linear(x, lp["w3"]), lp["w2"])
 
         hn = rms_norm(h, dec_params["norm"], d.norm_eps)
-        # tied-embedding logits: operands stay in param dtype with f32 MXU
-        # accumulation — an explicit astype(f32) of the 131072x3072 table
-        # would materialize a 1.6 GB copy per token step
-        logits = jax.lax.dot_general(
-            hn.astype(embed.dtype), embed,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)[0]
+        logits = embed_logits(hn, embed)[0]
         tok = jnp.argmax(logits).astype(jnp.int32)
         if forced is not None:
             tok = jnp.where(forced >= 0, forced, tok)

@@ -24,6 +24,7 @@ from voxtral_tpu.ops import (
     windowed_attention,
 )
 from voxtral_tpu.ops.attention import ring_slot_positions
+from voxtral_tpu.ops.linear import linear
 
 
 def _gelu(x):
@@ -42,9 +43,9 @@ def _attn_block(lp: dict, x_norm: jax.Array, cfg, cos, sin):
     k, v (leading batch dims preserved)."""
     e = cfg
     hs = (*x_norm.shape[:-1], e.heads, e.head_dim)
-    q = (x_norm @ lp["wq"] + lp["wq_b"].astype(x_norm.dtype)).reshape(hs)
-    k = (x_norm @ lp["wk"]).reshape(hs)
-    v = (x_norm @ lp["wv"] + lp["wv_b"].astype(x_norm.dtype)).reshape(hs)
+    q = linear(x_norm, lp["wq"], lp["wq_b"]).reshape(hs)
+    k = linear(x_norm, lp["wk"]).reshape(hs)
+    v = linear(x_norm, lp["wv"], lp["wv_b"]).reshape(hs)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     return q, k, v
@@ -62,9 +63,10 @@ def encoder_forward(enc_params: dict, cfg: VoxtralConfig, h: jax.Array,
         x = rms_norm(h, lp["attn_norm"], e.norm_eps)
         q, k, v = _attn_block(lp, x, e, cos, sin)
         attn = windowed_attention(q, k, v, window=e.window)
-        h = h + attn.reshape(s, e.attn_dim) @ lp["wo"] + lp["wo_b"].astype(h.dtype)
+        h = h + linear(attn.reshape(s, e.attn_dim), lp["wo"], lp["wo_b"])
         x = rms_norm(h, lp["ffn_norm"], e.norm_eps)
-        ffn = (jax.nn.silu(x @ lp["w1"]) * (x @ lp["w3"])) @ lp["w2"]
+        ffn = linear(jax.nn.silu(linear(x, lp["w1"])) * linear(x, lp["w3"]),
+                     lp["w2"])
         h = h + ffn + lp["w2_b"].astype(h.dtype)
     return rms_norm(h, enc_params["norm"], e.norm_eps)
 
@@ -198,9 +200,10 @@ def encoder_incremental(enc_params: dict, cfg: VoxtralConfig,
         # the position mask); the ring itself stays read-only.
         attn = vattend(q, krs[l], vrs[l], rsp, kd, vd, chunk_pos,
                        positions)
-        h = h + attn.reshape(b, s, e.attn_dim) @ lp["wo"] + lp["wo_b"].astype(h.dtype)
+        h = h + linear(attn.reshape(b, s, e.attn_dim), lp["wo"], lp["wo_b"])
         x = rms_norm(h, lp["ffn_norm"], e.norm_eps)
-        ffn = (jax.nn.silu(x @ lp["w1"]) * (x @ lp["w3"])) @ lp["w2"]
+        ffn = linear(jax.nn.silu(linear(x, lp["w1"])) * linear(x, lp["w3"]),
+                     lp["w2"])
         h = h + ffn + lp["w2_b"].astype(h.dtype)
     out = rms_norm(h, enc_params["norm"], e.norm_eps)
 

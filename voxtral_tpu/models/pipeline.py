@@ -25,6 +25,7 @@ from voxtral_tpu.models.decoder import (
     time_conditioning,
 )
 from voxtral_tpu.models.encoder import conv_stem, encoder_forward
+from voxtral_tpu.ops.linear import embed_lookup
 
 
 def prompt_token_ids(cfg: VoxtralConfig, delay_tokens: int) -> np.ndarray:
@@ -52,7 +53,7 @@ def _pipeline_jit(params, cfg: VoxtralConfig, mel, delay_tokens: int,
 
     embed = params["decoder"]["embed"]
     prefix = (adapter[:lp - 1].astype(jnp.float32)
-              + embed[prompt[:lp - 1]].astype(jnp.float32))
+              + embed_lookup(embed, prompt[:lp - 1]))
     state = init_decode_state(cfg, batch=1)
     state = decoder_prefill(params["decoder"], cfg, state,
                             prefix[None], t_ada)

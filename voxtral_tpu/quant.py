@@ -1,0 +1,121 @@
+"""Q8 quantization: per-output-row symmetric int8 weights.
+
+Format parity with the reference quantizer (quantize.py:34-43): every 2-D
+tensor is quantized per safetensors-row (the OUTPUT feature axis) with
+scale = amax(row) / 127, stored as int8 values + f32 scales. In our param
+tree linear weights live transposed ([in, out]), so scales index the LAST
+axis; the tied embedding table stays [vocab, dim] with per-vocab-row scales.
+
+Compute path: XLA TPU (and CPU) supports mixed-dtype dot_general directly —
+`dot_general(x_bf16, q_int8, preferred_element_type=f32) * scales` reads one
+byte per weight from HBM with no materialized dequantized copy (measured
+faster than the bf16 dot at identical shapes). This replaces the reference's
+fused Q8 matvec kernels (voxtral_kernels.c:277-312, voxtral_metal_q8.m).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Quantized:
+    """Per-row symmetric int8 quantized matrix: w[.., r] ~= q[.., r] * s[r].
+
+    q: int8, scales s: f32 indexing the LAST axis of q ([in, out] linear
+    weights -> per-out scales) EXCEPT the embedding table, which is stored
+    [vocab, dim] with s indexing axis 0 (set axis=0).
+    """
+    q: Any            # int8
+    s: Any            # f32 [q.shape[axis]]
+    axis: int = -1    # which axis of q the scales index
+
+    def tree_flatten(self):
+        return (self.q, self.s), self.axis
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux)
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def dtype(self):  # for code probing w.dtype; dequantized dtype is f32
+        return jnp.float32
+
+
+def dequantize(w: Quantized) -> jax.Array:
+    """Full-precision f32 materialization (load-time/small tensors only)."""
+    s = w.s
+    if w.axis == -1 or w.axis == w.q.ndim - 1:
+        return w.q.astype(jnp.float32) * s
+    shape = [1] * w.q.ndim
+    shape[w.axis] = -1
+    return w.q.astype(jnp.float32) * s.reshape(shape)
+
+
+def quantize_np(arr: np.ndarray, axis: int = -1) -> Quantized:
+    """Numpy quantizer matching the reference (quantize.py:34-43):
+    scale = amax/127 per row on `axis`, symmetric round-to-nearest."""
+    arr = np.asarray(arr, dtype=np.float32)
+    red = tuple(i for i in range(arr.ndim) if i != (axis % arr.ndim))
+    amax = np.abs(arr).max(axis=red)
+    scales = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    shape = [1] * arr.ndim
+    shape[axis % arr.ndim] = -1
+    q = np.clip(np.round(arr / scales.reshape(shape)), -127, 127).astype(np.int8)
+    return Quantized(q=q, s=scales, axis=axis % arr.ndim if axis != -1 else -1)
+
+
+def quantize_jax(arr: jax.Array, axis: int = -1) -> Quantized:
+    """On-device quantizer (used to Q8-ify synthetic benchmark weights)."""
+    a = arr.astype(jnp.float32)
+    red = tuple(i for i in range(a.ndim) if i != (axis % a.ndim))
+    amax = jnp.max(jnp.abs(a), axis=red)
+    scales = jnp.where(amax > 0, amax / 127.0, 1.0)
+    shape = [1] * a.ndim
+    shape[axis % a.ndim] = -1
+    q = jnp.clip(jnp.round(a / scales.reshape(shape)), -127, 127).astype(jnp.int8)
+    return Quantized(q=q, s=scales, axis=axis % a.ndim if axis != -1 else -1)
+
+
+# Param-tree keys carrying the big 2-D matmul weights (per section).
+_Q8_LAYER_KEYS = ("wq", "wk", "wv", "wo", "w1", "w2", "w3")
+
+
+def quantize_params(params: dict) -> dict:
+    """Quantize a bf16/f32 param tree to the Q8 inference form: all large
+    linear weights + the tied embedding become Quantized; norms, biases,
+    conv stem, and ada MLPs stay as-is.
+
+    CONSUMES the input tree: each quantized leaf is donated to its jit call
+    (so peak HBM stays ~params + one leaf — required for the 8.8 GB 4B tree
+    on a 16 GB chip). Pass a copy if you still need the original."""
+    def q_leaf(axis):
+        return jax.jit(lambda w: quantize_jax(w, axis), donate_argnums=(0,))
+
+    qw = q_leaf(-1)
+
+    def q_layers(layers):
+        return tuple(
+            {k: (qw(v) if k in _Q8_LAYER_KEYS else v) for k, v in lp.items()}
+            for lp in layers)
+
+    out = {
+        "encoder": {**params["encoder"],
+                    "layers": q_layers(params["encoder"]["layers"])},
+        "adapter": {"w0": qw(params["adapter"]["w0"]),
+                    "w1": qw(params["adapter"]["w1"])},
+        "decoder": {**params["decoder"],
+                    "embed": q_leaf(0)(params["decoder"]["embed"]),
+                    "layers": q_layers(params["decoder"]["layers"])},
+    }
+    return out

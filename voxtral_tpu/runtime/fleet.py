@@ -33,6 +33,7 @@ from voxtral_tpu.models.decoder import (
 from voxtral_tpu.models.encoder import (
     EncoderState, encoder_incremental, init_encoder_state,
 )
+from voxtral_tpu.ops.linear import embed_lookup
 
 
 class FleetState(NamedTuple):
@@ -139,7 +140,7 @@ def fleet_bootstrap(params, cfg: VoxtralConfig, state: FleetState,
     prompt = jnp.asarray([st.bos] + [st.streaming_pad] * (lp - 1), jnp.int32)
     embed = params["decoder"]["embed"]
     prefix = (frames[:, :lp - 1].astype(jnp.float32)
-              + embed[prompt[:-1]].astype(jnp.float32)[None])
+              + embed_lookup(embed, prompt[:-1])[None])
     dec = decoder_prefill(params["decoder"], cfg, state.decode, prefix, t_ada)
     dec = dec._replace(prev_token=jnp.full((b,), prompt[-1], jnp.int32),
                        done=jnp.zeros((b,), bool))
@@ -160,7 +161,7 @@ def fleet_prefill(params, cfg: VoxtralConfig, state: FleetState,
     """Batched prompt prefill: frames [B, P-1, Dd], prompt_ids [P]."""
     embed = params["decoder"]["embed"]
     prefix = (frames.astype(jnp.float32)
-              + embed[prompt_ids[:-1]].astype(jnp.float32)[None])
+              + embed_lookup(embed, prompt_ids[:-1])[None])
     dec = decoder_prefill(params["decoder"], cfg, state.decode, prefix, t_ada)
     b = frames.shape[0]
     dec = dec._replace(

@@ -41,6 +41,7 @@ from voxtral_tpu.models.encoder import (
 )
 from voxtral_tpu.models.decoder import DecodeState
 from voxtral_tpu.ops.conv import causal_conv1d
+from voxtral_tpu.ops.linear import embed_lookup
 
 # Shape buckets (mel frames per conv dispatch; decode steps per scan)
 # Bucket caps are bounded by the pending-KV block sizes (the fold is a
@@ -91,7 +92,7 @@ def _adapter_chunk(ada_params, cfg, x):
 def _prefill(dec_params, cfg, state, frames, prompt_ids, prev_token, t_ada):
     embed = dec_params["embed"]
     prefix = (frames.astype(jnp.float32)
-              + embed[prompt_ids].astype(jnp.float32))
+              + embed_lookup(embed, prompt_ids))
     state = decoder_prefill(dec_params, cfg, state, prefix[None], t_ada)
     return state._replace(prev_token=jnp.asarray([prev_token], jnp.int32),
                           done=jnp.zeros((1,), bool))

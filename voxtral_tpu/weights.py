@@ -34,6 +34,7 @@ import ml_dtypes
 import numpy as np
 
 from voxtral_tpu.config import VoxtralConfig
+from voxtral_tpu.quant import Quantized  # re-exported; lives in quant.py
 
 ENC_PREFIX = "mm_streams_embeddings.embedding_module.whisper_encoder"
 ADA_PREFIX = "mm_streams_embeddings.embedding_module.audio_language_projection"
@@ -44,29 +45,6 @@ _DTYPES = {
     "I8": np.int8, "I32": np.int32, "I64": np.int64, "F64": np.float64,
     "U8": np.uint8,
 }
-
-
-@jax.tree_util.register_pytree_node_class
-@dataclasses.dataclass
-class Quantized:
-    """Per-row symmetric int8 quantized matrix: w[r, c] ~= q[r, c] * s[r].
-
-    Stored [in, out] like regular linear weights (rows of the safetensors
-    [out, in] tensor become columns here, so s indexes the OUT axis).
-    """
-    q: Any   # int8 [in, out]
-    s: Any   # f32 [out]
-
-    def tree_flatten(self):
-        return (self.q, self.s), None
-
-    @classmethod
-    def tree_unflatten(cls, aux, children):
-        return cls(*children)
-
-    @property
-    def shape(self):
-        return self.q.shape
 
 
 # ---------------------------------------------------------------------------
@@ -212,7 +190,8 @@ def _get(sf: SafetensorsFile, name: str, transpose: bool, dtype) -> np.ndarray |
         if transpose:
             # safetensors rows ([out]) become our columns; scales index out.
             return Quantized(q=np.ascontiguousarray(q.T), s=np.asarray(scales))
-        return Quantized(q=np.asarray(q), s=np.asarray(scales))
+        # untransposed (embedding table): scales index axis 0 (vocab rows)
+        return Quantized(q=np.asarray(q), s=np.asarray(scales), axis=0)
     arr = sf.tensor(name)
     if transpose:
         arr = arr.T
