@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from voxtral_tpu.audio.mel import MelStream
+from voxtral_tpu.audio.native import make_mel_stream
 from voxtral_tpu.config import VoxtralConfig
 from voxtral_tpu.models.adapter import adapter_forward
 from voxtral_tpu.models.decoder import (
@@ -151,7 +151,7 @@ class VoxStream:
     def _init_audio_state(self):
         cfg = self.cfg
         mult = cfg.audio.raw_audio_per_token
-        self.mel = MelStream(
+        self.mel = make_mel_stream(
             left_pad_samples=cfg.streaming.n_left_pad_tokens * mult,
             cfg=cfg.audio)
         self.mel_cursor = 0
