@@ -38,9 +38,10 @@ def log(msg):
 
 
 def bench_fleet(params, cfg, t_ada, batch, chunk_mel, enc_ring, dec_ring,
-                warmup=2, iters=8):
+                warmup=2, iters=8, kv_dtype="float"):
     state = init_fleet_state(cfg, batch=batch, enc_ring=enc_ring,
-                             dec_ring=dec_ring, max_mel_chunk=320)
+                             dec_ring=dec_ring, max_mel_chunk=320,
+                             kv_dtype=kv_dtype)
     rng = np.random.RandomState(0)
     mel0 = jnp.asarray(rng.rand(batch, cfg.audio.mel_bins, 320)
                        .astype(np.float32))
@@ -95,26 +96,32 @@ def main():
         log(f"  quantized to Q8 (int8 + per-row scales) in "
             f"{time.perf_counter() - t0:.1f}s")
 
-    batch = int(os.environ.get("VOX_BENCH_STREAMS", "12" if q8 else "8"))
+    kv_dtype = os.environ.get("VOX_BENCH_KV", "int8")
+    batch = int(os.environ.get("VOX_BENCH_STREAMS",
+                               ("24" if kv_dtype == "int8" else "12")
+                               if q8 else "8"))
     chunk_mel = int(os.environ.get("VOX_BENCH_CHUNK_MEL", "160"))
 
     log(f"fleet: {batch} streams x {chunk_mel/100:.1f}s chunks "
-        f"(dec ring 2048, enc ring 912, {'Q8' if q8 else 'bf16'} weights)")
+        f"(dec ring 2048, enc ring 912, {'Q8' if q8 else 'bf16'} weights, "
+        f"{kv_dtype} KV rings)")
     fleet = bench_fleet(params, cfg, t_ada, batch, chunk_mel,
-                        enc_ring=912, dec_ring=2048)
+                        enc_ring=912, dec_ring=2048, kv_dtype=kv_dtype)
     log(f"  {fleet['audio_s_per_s']:.1f} audio-s/s | step {fleet['step_ms']:.1f} ms "
         f"| {fleet['ms_per_token']:.2f} ms/token (batched)")
 
     log("single stream (B=1):")
     single = bench_fleet(params, cfg, t_ada, 1, chunk_mel,
-                         enc_ring=912, dec_ring=2048, warmup=2, iters=6)
+                         enc_ring=912, dec_ring=2048, warmup=2, iters=6,
+                         kv_dtype=kv_dtype)
     log(f"  {single['audio_s_per_s']:.1f} audio-s/s | "
         f"{single['ms_per_token']:.2f} ms/token")
 
     value = fleet["audio_s_per_s"]
     print(json.dumps({
         "metric": f"audio_seconds_per_second_per_chip_{batch}streams"
-                  + ("_q8" if q8 else ""),
+                  + ("_q8" if q8 else "")
+                  + ("_int8kv" if kv_dtype == "int8" else ""),
         "value": round(value, 2),
         "unit": "audio_s/s",
         "vs_baseline": round(value / BASELINE_AUDIO_S_PER_S, 2),

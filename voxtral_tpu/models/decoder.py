@@ -67,7 +67,8 @@ from voxtral_tpu.ops.attention import (
     ring_decode_attention, windowed_attention,
 )
 from voxtral_tpu.ops.linear import embed_logits, embed_lookup, linear
-from voxtral_tpu.quant import Quantized, dequantize
+from voxtral_tpu.ops.pallas_attention import ring_attention
+from voxtral_tpu.quant import Quantized, dequantize, quantize_kv
 
 SLOT_INVALID = -(1 << 30)
 
@@ -108,9 +109,18 @@ class DecodeState(NamedTuple):
     pending_*: the most recent chunk's KV, not yet folded into the rings
     (rule 3). write_ctr is the ring slot where pending column 0 lands;
     pending_adv is how far the cursor advances after the fold (the chunk's
-    longest active prefix)."""
+    longest active prefix).
+
+    kv_dtype="int8" mode: rings are int8 with per-(slot, head) f32 scale
+    tables (k_scale/v_scale, None in float mode); pending blocks stay float
+    and are quantized at fold time (quant.py:quantize_kv). The fused
+    attention kernel applies scales to score/probability columns — ring
+    HBM traffic and footprint halve, which is what lets the stream batch
+    double on a 16 GB chip."""
     k_ring: tuple          # L x [B, P, Hkv*hd]
     v_ring: tuple          # L x [B, P, Hkv*hd]
+    k_scale: tuple | None  # L x [B, Hkv, P] f32 (int8 mode only)
+    v_scale: tuple | None
     slot_pos: jax.Array    # [B, P] int32 logical position per slot
     pending_k: tuple       # L x [B, Np, Hkv*hd]
     pending_v: tuple       # L x [B, Np, Hkv*hd]
@@ -124,7 +134,8 @@ class DecodeState(NamedTuple):
 
 def init_decode_state(cfg: VoxtralConfig, batch: int = 1, dtype=None,
                       ring_size: int | None = None,
-                      pending_size: int = 64) -> DecodeState:
+                      pending_size: int = 64,
+                      kv_dtype: str = "float") -> DecodeState:
     """ring_size (the cursor modulus R) defaults to window + pending_size so
     pending folds can never clobber an in-window slot (rule 4)."""
     d = cfg.decoder
@@ -132,11 +143,17 @@ def init_decode_state(cfg: VoxtralConfig, batch: int = 1, dtype=None,
     ring = ring_size or (d.window + pending_size)
     assert pending_size <= ring
     phys = ring + pending_size
+    int8 = kv_dtype == "int8"
+    ring_dt = jnp.int8 if int8 else dt
     return DecodeState(
-        k_ring=tuple(jnp.zeros((batch, phys, d.kv_dim), dt)
+        k_ring=tuple(jnp.zeros((batch, phys, d.kv_dim), ring_dt)
                      for _ in range(d.layers)),
-        v_ring=tuple(jnp.zeros((batch, phys, d.kv_dim), dt)
+        v_ring=tuple(jnp.zeros((batch, phys, d.kv_dim), ring_dt)
                      for _ in range(d.layers)),
+        k_scale=tuple(jnp.ones((batch, d.kv_heads, phys), jnp.float32)
+                      for _ in range(d.layers)) if int8 else None,
+        v_scale=tuple(jnp.ones((batch, d.kv_heads, phys), jnp.float32)
+                      for _ in range(d.layers)) if int8 else None,
         slot_pos=jnp.full((batch, phys), SLOT_INVALID, jnp.int32),
         pending_k=tuple(jnp.zeros((batch, pending_size, d.kv_dim), dt)
                         for _ in range(d.layers)),
@@ -172,22 +189,34 @@ def reset_streams(state: DecodeState, mask: jax.Array, bos_token: int = 1,
         done=jnp.where(mask, False, state.done))
 
 
-def _fold_pending(state: DecodeState):
+def _fold_pending(state: DecodeState, kv_heads: int, head_dim: int):
     """Fold the pending chunk into the rings — ONE in-place
     dynamic_update_slice per ring buffer, issued BEFORE any ring read
     (rule 3), at ctr % R (the overflow margin guarantees no wrap, rule 4).
-    Returns (k_rings, v_rings, slot_pos, base) with base = cursor for the
-    next chunk."""
+    Int8 rings: the float pending is quantized here; scales land in the
+    scale tables at the same slots. Returns (k_rings, v_rings, k_scales,
+    v_scales, slot_pos, base) with base = cursor for the next chunk."""
     np_ = state.pending_sp.shape[1]
     ring = state.k_ring[0].shape[1] - np_
     slot = state.write_ctr % ring
-    krs = tuple(jax.lax.dynamic_update_slice(kr, pk, (0, slot, 0))
-                for kr, pk in zip(state.k_ring, state.pending_k))
-    vrs = tuple(jax.lax.dynamic_update_slice(vr, pv, (0, slot, 0))
-                for vr, pv in zip(state.v_ring, state.pending_v))
+    int8 = state.k_scale is not None
+
+    def fold(ring_t, pend_t, scale_t):
+        if not int8:
+            return tuple(jax.lax.dynamic_update_slice(r, p, (0, slot, 0))
+                         for r, p in zip(ring_t, pend_t)), None
+        rings, scales = [], []
+        for r, p, sc in zip(ring_t, pend_t, scale_t):
+            qv, qs = quantize_kv(p, kv_heads, head_dim)
+            rings.append(jax.lax.dynamic_update_slice(r, qv, (0, slot, 0)))
+            scales.append(jax.lax.dynamic_update_slice(sc, qs, (0, 0, slot)))
+        return tuple(rings), tuple(scales)
+
+    krs, kss = fold(state.k_ring, state.pending_k, state.k_scale)
+    vrs, vss = fold(state.v_ring, state.pending_v, state.v_scale)
     sp = jax.lax.dynamic_update_slice(
         state.slot_pos, state.pending_sp, (0, slot))
-    return krs, vrs, sp, state.write_ctr + state.pending_adv
+    return krs, vrs, kss, vss, sp, state.write_ctr + state.pending_adv
 
 
 def _layer_matmuls(lp, x, cfg):
@@ -252,14 +281,25 @@ def decoder_prefill(dec_params: dict, cfg: VoxtralConfig, state: DecodeState,
         v_all = tuple(jnp.roll(v[:, s - ring:, :], shift, axis=1)
                       for v in v_all)
         row_pos = jnp.roll(row_pos[:, s - ring:], shift, axis=1)
+
     # One contiguous static-offset write per ring: slots 0..min(S, ring)-1.
-    k2 = tuple(jax.lax.dynamic_update_slice(kr, k.astype(kr.dtype), (0, 0, 0))
-               for kr, k in zip(state.k_ring, k_all))
-    v2 = tuple(jax.lax.dynamic_update_slice(vr, v.astype(vr.dtype), (0, 0, 0))
-               for vr, v in zip(state.v_ring, v_all))
+    def write(ring_t, vals_t, scale_t):
+        if state.k_scale is None:
+            return tuple(
+                jax.lax.dynamic_update_slice(r, x.astype(r.dtype), (0, 0, 0))
+                for r, x in zip(ring_t, vals_t)), None
+        rings, scales = [], []
+        for r, x, sc in zip(ring_t, vals_t, scale_t):
+            qv, qs = quantize_kv(x, d.kv_heads, d.head_dim)
+            rings.append(jax.lax.dynamic_update_slice(r, qv, (0, 0, 0)))
+            scales.append(jax.lax.dynamic_update_slice(sc, qs, (0, 0, 0)))
+        return tuple(rings), tuple(scales)
+
+    k2, ks2 = write(state.k_ring, k_all, state.k_scale)
+    v2, vs2 = write(state.v_ring, v_all, state.v_scale)
     slot_pos = jax.lax.dynamic_update_slice(state.slot_pos, row_pos, (0, 0))
     return state._replace(
-        k_ring=k2, v_ring=v2, slot_pos=slot_pos,
+        k_ring=k2, v_ring=v2, k_scale=ks2, v_scale=vs2, slot_pos=slot_pos,
         pending_sp=jnp.full_like(state.pending_sp, SLOT_INVALID),
         pending_adv=jnp.zeros((), jnp.int32),
         write_ctr=jnp.int32(s),
@@ -307,88 +347,80 @@ def decode_scan(dec_params: dict, cfg: VoxtralConfig, state: DecodeState,
                    for k in auxes[0]}
         return state, jnp.concatenate(toks, axis=1), aux_out
 
-    phys = state.k_ring[0].shape[1]
     embed = dec_params["embed"]
     eos = cfg.streaming.eos
     layer_list = dec_params["layers"]
 
     # Rule 3: fold the previous chunk's KV into the rings BEFORE any ring
     # read, then treat the rings as loop-invariant.
-    k_rings, v_rings, ring_sp, base = _fold_pending(state)
-
-    def step_one(pos, prev, done, frame, nv, i, forced,
-                 krs, vrs, my_ring_sp, chunk_k, chunk_v, chunk_pos):
-        """Per-stream math for one token step. krs/vrs: per-layer [P, K]
-        tuples (read-only); chunk_k/v: per-layer [N, K] tuples of this
-        scan's accumulated KV; chunk_pos: [N] logical positions."""
-        active = jnp.logical_and(i < nv, jnp.logical_not(done)) if stop_at_eos \
-            else (i < nv)
-        tok_emb = embed_lookup(embed, prev)
-        h = (frame.astype(jnp.float32) + tok_emb)[None].astype(cfg.compute_dtype)
-        cos, sin = rope_angles(pos[None], d.head_dim, d.rope_theta)
-        chunk_pos = chunk_pos.at[i].set(jnp.where(active, pos, SLOT_INVALID))
-
-        chunk_k = list(chunk_k)
-        chunk_v = list(chunk_v)
-        for l in range(d.layers):
-            lp = layer_list[l]
-            ada = t_ada[l]
-            x = rms_norm(h, lp["attn_norm"], d.norm_eps)
-            q, k, v = _layer_matmuls(lp, x, d)
-            q = apply_rope(q, cos, sin)
-            k = apply_rope(k, cos, sin)
-            ck = chunk_k[l].at[i].set(k.reshape(d.kv_dim).astype(chunk_k[l].dtype))
-            cv = chunk_v[l].at[i].set(v.reshape(d.kv_dim).astype(chunk_v[l].dtype))
-            chunk_k[l], chunk_v[l] = ck, cv
-            attn = ring_decode_attention(
-                q, krs[l].reshape(phys, d.kv_heads, d.head_dim),
-                vrs[l].reshape(phys, d.kv_heads, d.head_dim),
-                slot_pos=my_ring_sp, q_pos=pos, window=d.window,
-                extra_kv=(ck.reshape(n, d.kv_heads, d.head_dim),
-                          cv.reshape(n, d.kv_heads, d.head_dim),
-                          chunk_pos))
-            h = h + linear(attn.reshape(1, d.q_dim), lp["wo"])
-            x = rms_norm(h, lp["ffn_norm"], d.norm_eps)
-            x = x * (1.0 + ada.astype(x.dtype))[None, :]
-            h = h + linear(jax.nn.silu(linear(x, lp["w1"]))
-                           * linear(x, lp["w3"]), lp["w2"])
-
-        hn = rms_norm(h, dec_params["norm"], d.norm_eps)
-        logits = embed_logits(hn, embed)[0]
-        tok = jnp.argmax(logits).astype(jnp.int32)
-        if forced is not None:
-            tok = jnp.where(forced >= 0, forced, tok)
-
-        new_prev = jnp.where(active, tok, prev)
-        new_pos = jnp.where(active, pos + 1, pos)
-        new_done = jnp.logical_or(done, jnp.logical_and(active, tok == eos)) \
-            if stop_at_eos else done
-        out_tok = jnp.where(active, tok, -1)
-        if collect_topk > 0:
-            vals, idxs = jax.lax.top_k(logits, collect_topk)
-            lse = jax.nn.logsumexp(logits)
-            aux = (vals, idxs.astype(jnp.int32), lse)
-        else:
-            aux = ()
-        return (tuple(chunk_k), tuple(chunk_v), chunk_pos,
-                new_pos, new_prev, new_done, out_tok, aux)
-
-    forced_axis = None if forced_tokens is None else 0
-    vstep = jax.vmap(step_one,
-                     in_axes=(0, 0, 0, 0, 0, None, forced_axis,
-                              0, 0, 0, 0, 0, 0))
+    k_rings, v_rings, k_ss, v_ss, ring_sp, base = _fold_pending(
+        state, d.kv_heads, d.head_dim)
 
     def scan_body(carry, xs):
+        """Fully batched token step: every op carries the stream axis B, so
+        each layer is ONE fused attention kernel + a handful of batched
+        matmuls (the per-stream vmap formulation compiled to thousands of
+        small ops; see git history)."""
         chunk_k, chunk_v, chunk_pos, pos, prev, done = carry
         if forced_tokens is None:
             frame_i, i = xs
             forced_i = None
         else:
             frame_i, forced_i, i = xs
-        chunk_k, chunk_v, chunk_pos, pos, prev, done, tok, aux = vstep(
-            pos, prev, done, frame_i, n_valid, i, forced_i,
-            k_rings, v_rings, ring_sp, chunk_k, chunk_v, chunk_pos)
-        return (chunk_k, chunk_v, chunk_pos, pos, prev, done), (tok, aux)
+        active = (i < n_valid) & ~done if stop_at_eos else (i < n_valid)
+        tok_emb = embed_lookup(embed, prev)                       # [B, D]
+        h = ((frame_i.astype(jnp.float32) + tok_emb)[:, None, :]
+             .astype(cfg.compute_dtype))                          # [B, 1, D]
+        cos, sin = rope_angles(pos[:, None], d.head_dim, d.rope_theta)
+        chunk_pos = chunk_pos.at[:, i].set(
+            jnp.where(active, pos, SLOT_INVALID))
+
+        chunk_k = list(chunk_k)
+        chunk_v = list(chunk_v)
+        for l in range(d.layers):
+            lp = layer_list[l]
+            x = rms_norm(h, lp["attn_norm"], d.norm_eps)
+            q = linear(x, lp["wq"]).reshape(b, 1, d.heads, d.head_dim)
+            k = linear(x, lp["wk"]).reshape(b, 1, d.kv_heads, d.head_dim)
+            v = linear(x, lp["wv"]).reshape(b, 1, d.kv_heads, d.head_dim)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            ck = chunk_k[l].at[:, i].set(
+                k.reshape(b, d.kv_dim).astype(chunk_k[l].dtype))
+            cv = chunk_v[l].at[:, i].set(
+                v.reshape(b, d.kv_dim).astype(chunk_v[l].dtype))
+            chunk_k[l], chunk_v[l] = ck, cv
+            attn = ring_attention(
+                q.reshape(b, 1, d.q_dim), k_rings[l], v_rings[l], ring_sp,
+                pos[:, None], window=d.window, heads=d.heads,
+                kv_heads=d.kv_heads, head_dim=d.head_dim,
+                k_scale=None if k_ss is None else k_ss[l],
+                v_scale=None if v_ss is None else v_ss[l],
+                extra_kv=(ck, cv, chunk_pos))                     # [B, 1, Qd]
+            h = h + linear(attn, lp["wo"])
+            x = rms_norm(h, lp["ffn_norm"], d.norm_eps)
+            x = x * (1.0 + t_ada[l].astype(x.dtype))[None, None, :]
+            h = h + linear(jax.nn.silu(linear(x, lp["w1"]))
+                           * linear(x, lp["w3"]), lp["w2"])
+
+        hn = rms_norm(h[:, 0], dec_params["norm"], d.norm_eps)
+        logits = embed_logits(hn, embed)                          # [B, V]
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if forced_i is not None:
+            tok = jnp.where(forced_i >= 0, forced_i, tok)
+
+        new_prev = jnp.where(active, tok, prev)
+        new_pos = jnp.where(active, pos + 1, pos)
+        new_done = done | (active & (tok == eos)) if stop_at_eos else done
+        out_tok = jnp.where(active, tok, -1)
+        if collect_topk > 0:
+            vals, idxs = jax.lax.top_k(logits, collect_topk)
+            lse = jax.nn.logsumexp(logits, axis=-1)
+            aux = (vals, idxs.astype(jnp.int32), lse)
+        else:
+            aux = ()
+        return ((tuple(chunk_k), tuple(chunk_v), chunk_pos,
+                 new_pos, new_prev, new_done), (out_tok, aux))
 
     frames_t = jnp.swapaxes(frames, 0, 1)          # [N, B, D]
     steps = jnp.arange(n, dtype=jnp.int32)
@@ -396,7 +428,7 @@ def decode_scan(dec_params: dict, cfg: VoxtralConfig, state: DecodeState,
         xs = (frames_t, steps)
     else:
         xs = (frames_t, jnp.swapaxes(forced_tokens, 0, 1), steps)
-    rdt = state.k_ring[0].dtype
+    rdt = state.pending_k[0].dtype                 # chunk KV stays float
     carry = (tuple(jnp.zeros((b, n, d.kv_dim), rdt) for _ in range(d.layers)),
              tuple(jnp.zeros((b, n, d.kv_dim), rdt) for _ in range(d.layers)),
              jnp.full((b, n), SLOT_INVALID, jnp.int32),
@@ -419,7 +451,8 @@ def decode_scan(dec_params: dict, cfg: VoxtralConfig, state: DecodeState,
         pk, pv, psp = chunk_k, chunk_v, chunk_pos
     n_act = jnp.max(jnp.minimum(n_valid, n)).astype(jnp.int32)
     new_state = state._replace(
-        k_ring=k_rings, v_ring=v_rings, slot_pos=ring_sp,
+        k_ring=k_rings, v_ring=v_rings, k_scale=k_ss, v_scale=v_ss,
+        slot_pos=ring_sp,
         pending_k=pk, pending_v=pv, pending_sp=psp,
         pending_adv=n_act, write_ctr=base,
         pos=pos, prev_token=prev, done=done)

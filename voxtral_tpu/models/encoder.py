@@ -25,6 +25,8 @@ from voxtral_tpu.ops import (
 )
 from voxtral_tpu.ops.attention import ring_slot_positions
 from voxtral_tpu.ops.linear import linear
+from voxtral_tpu.ops.pallas_attention import ring_attention
+from voxtral_tpu.quant import quantize_kv
 
 
 def _gelu(x):
@@ -84,9 +86,16 @@ class EncoderState(NamedTuple):
 
     Rings store heads MERGED into the last axis ([B, P, H*hd]) — with
     hd=64 < the 128-lane TPU tile, a [.., H, 64] layout would be padded 2x
-    in HBM; the merged 2048-wide axis is layout-clean."""
+    in HBM; the merged 2048-wide axis is layout-clean.
+
+    kv_dtype="int8" mode: rings are int8 with per-(slot, head) f32 scale
+    tables k_scale/v_scale (L x [B, H, P]; None in float mode). Pending
+    blocks stay float; the fold quantizes (quant.py:quantize_kv) and the
+    fused attention kernel applies scales to score/probability columns."""
     k_ring: tuple        # L x [B, P, H*hd]
     v_ring: tuple        # L x [B, P, H*hd]
+    k_scale: tuple | None  # L x [B, H, P] f32 (int8 mode only)
+    v_scale: tuple | None
     slot_pos: jax.Array  # [B, P] int32 logical position per slot
     pending_k: tuple       # L x [B, Sp, H*hd]
     pending_v: tuple       # L x [B, Sp, H*hd]
@@ -98,7 +107,8 @@ class EncoderState(NamedTuple):
 
 def init_encoder_state(cfg: VoxtralConfig, ring_size: int = 1280,
                        batch: int = 1, dtype=None,
-                       pending_size: int = 128) -> EncoderState:
+                       pending_size: int = 128,
+                       kv_dtype: str = "float") -> EncoderState:
     e = cfg.encoder
     dt = dtype or cfg.compute_dtype
     # Folding a pending block of Sp columns stomps Sp slots past the cursor;
@@ -106,11 +116,17 @@ def init_encoder_state(cfg: VoxtralConfig, ring_size: int = 1280,
     # bounds the max chunk, since a chunk needs window + chunk <= ring).
     pending_size = min(pending_size, ring_size - e.window)
     phys = ring_size + pending_size
+    int8 = kv_dtype == "int8"
+    ring_dt = jnp.int8 if int8 else dt
     return EncoderState(
-        k_ring=tuple(jnp.zeros((batch, phys, e.attn_dim), dt)
+        k_ring=tuple(jnp.zeros((batch, phys, e.attn_dim), ring_dt)
                      for _ in range(e.layers)),
-        v_ring=tuple(jnp.zeros((batch, phys, e.attn_dim), dt)
+        v_ring=tuple(jnp.zeros((batch, phys, e.attn_dim), ring_dt)
                      for _ in range(e.layers)),
+        k_scale=tuple(jnp.ones((batch, e.heads, phys), jnp.float32)
+                      for _ in range(e.layers)) if int8 else None,
+        v_scale=tuple(jnp.ones((batch, e.heads, phys), jnp.float32)
+                      for _ in range(e.layers)) if int8 else None,
         slot_pos=jnp.full((batch, phys), SLOT_INVALID, jnp.int32),
         pending_k=tuple(jnp.zeros((batch, pending_size, e.attn_dim), dt)
                         for _ in range(e.layers)),
@@ -167,39 +183,47 @@ def encoder_incremental(enc_params: dict, cfg: VoxtralConfig,
 
     # Fold the previous chunk's pending KV into the rings BEFORE any ring
     # read: ONE in-place dynamic_update_slice per ring at ctr % ring (the
-    # overflow margin guarantees no wrap; see models/decoder.py).
+    # overflow margin guarantees no wrap; see models/decoder.py). In int8
+    # mode the float pending is quantized here and the per-slot scales land
+    # in the scale tables at the same slots.
+    int8_kv = state.k_scale is not None
     slot0 = state.write_ctr % ring
-    krs = tuple(jax.lax.dynamic_update_slice(kr, pk, (0, slot0, 0))
-                for kr, pk in zip(state.k_ring, state.pending_k))
-    vrs = tuple(jax.lax.dynamic_update_slice(vr, pv, (0, slot0, 0))
-                for vr, pv in zip(state.v_ring, state.pending_v))
+
+    def fold(ring_t, pend_t, scale_t):
+        if not int8_kv:
+            return tuple(jax.lax.dynamic_update_slice(r, p, (0, slot0, 0))
+                         for r, p in zip(ring_t, pend_t)), None
+        rings, scales = [], []
+        for r, p, sc in zip(ring_t, pend_t, scale_t):
+            qv, qs = quantize_kv(p, e.heads, e.head_dim)
+            rings.append(jax.lax.dynamic_update_slice(r, qv, (0, slot0, 0)))
+            scales.append(jax.lax.dynamic_update_slice(sc, qs, (0, 0, slot0)))
+        return tuple(rings), tuple(scales)
+
+    krs, kss = fold(state.k_ring, state.pending_k, state.k_scale)
+    vrs, vss = fold(state.v_ring, state.pending_v, state.v_scale)
     rsp = jax.lax.dynamic_update_slice(
         state.slot_pos, state.pending_sp, (0, slot0))
     base = state.write_ctr + state.pending_adv
-
-    def attend(q, k_r, v_r, sp, ck, cv, cp, qp):
-        return ring_decode_attention(
-            q, k_r.reshape(phys, e.heads, e.head_dim),
-            v_r.reshape(phys, e.heads, e.head_dim),
-            slot_pos=sp, q_pos=qp, window=e.window,
-            extra_kv=(ck.reshape(s, e.heads, e.head_dim),
-                      cv.reshape(s, e.heads, e.head_dim), cp))
-
-    vattend = jax.vmap(attend)
 
     h = h_chunk
     chunk_ks, chunk_vs = [], []
     for l, lp in enumerate(enc_params["layers"]):
         x = rms_norm(h, lp["attn_norm"], e.norm_eps)
         q, k, v = _attn_block(lp, x, e, cos, sin)
-        kd = k.reshape(b, s, e.attn_dim).astype(krs[l].dtype)
-        vd = v.reshape(b, s, e.attn_dim).astype(vrs[l].dtype)
+        kd = k.reshape(b, s, e.attn_dim).astype(state.pending_k[l].dtype)
+        vd = v.reshape(b, s, e.attn_dim).astype(state.pending_v[l].dtype)
         chunk_ks.append(kd)
         chunk_vs.append(vd)
-        # Current chunk K/V ride as extra columns (intra-chunk causality via
-        # the position mask); the ring itself stays read-only.
-        attn = vattend(q, krs[l], vrs[l], rsp, kd, vd, chunk_pos,
-                       positions)
+        # Current chunk K/V ride as extra float columns (intra-chunk
+        # causality via the position mask); the ring itself stays read-only.
+        attn = ring_attention(
+            q.reshape(b, s, e.attn_dim), krs[l], vrs[l], rsp, positions,
+            window=e.window, heads=e.heads, kv_heads=e.heads,
+            head_dim=e.head_dim,
+            k_scale=None if kss is None else kss[l],
+            v_scale=None if vss is None else vss[l],
+            extra_kv=(kd, vd, chunk_pos))
         h = h + linear(attn.reshape(b, s, e.attn_dim), lp["wo"], lp["wo_b"])
         x = rms_norm(h, lp["ffn_norm"], e.norm_eps)
         ffn = linear(jax.nn.silu(linear(x, lp["w1"])) * linear(x, lp["w3"]),
@@ -220,7 +244,7 @@ def encoder_incremental(enc_params: dict, cfg: VoxtralConfig,
     # are re-written by the next chunk, so a B=1 stream never lags its
     # cursor (zero burn); heterogeneous fleets burn by their lag fraction.
     new_state = EncoderState(
-        k_ring=krs, v_ring=vrs, slot_pos=rsp,
+        k_ring=krs, v_ring=vrs, k_scale=kss, v_scale=vss, slot_pos=rsp,
         pending_k=pk, pending_v=pv, pending_sp=psp,
         pending_adv=jnp.max(n_valid).astype(jnp.int32),
         write_ctr=base,

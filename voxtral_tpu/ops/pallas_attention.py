@@ -1,0 +1,252 @@
+"""Fused Pallas TPU kernel for sliding-window GQA attention over ring KV.
+
+This is the TPU analogue of the reference's fused Metal attention kernels
+(decoder_attention voxtral_shaders.metal:292, encoder_attention :460): one
+kernel computes scores + position mask + softmax + probs@V entirely in VMEM.
+The XLA oracle (ops/attention.py) materializes [H, S, P] f32 scores in HBM
+and issues ~15 ops per layer; fused, each (stream, 128-lane KV block) grid
+cell reads its K/V ring slice from HBM exactly once and writes only the
+[S, q_lanes] output.
+
+Layout contract (matches models/*.py state): heads are MERGED into the last
+axis. A 128-lane KV block covers `128 // hd` KV heads; its q block covers
+`group * 128` lanes (group = H // Hkv q-heads per KV head).
+
+Int8 KV rings: rings may be int8 with per-(slot, kv-head) f32 scales laid
+out [B, Hkv, P]. Dequantization never materializes: K scales multiply the
+SCORE columns (q . k_j * ks_j), V scales fold into the probability columns
+before the PV matmul ((e_j * vs_j) @ v). This halves decode-attention HBM
+traffic — at production batch the ring reads rival the Q8 weight reads.
+
+Two shape regimes, both window-masked by LOGICAL position (ring slots are
+addressed pos % ring and masked via the slot->position table, never
+shifted):
+- decode:  S queries (small, e.g. 1), GQA group > 1, hd = 128
+- encoder: S queries (chunk), MHA group == 1, hd = 64 (2 heads per block)
+
+extra_kv: the current chunk's accumulated K/V rides as Sx additional
+bf16/f32 columns with their own position row (see models/decoder.py rule 3)
+so the ring stays loop-invariant inside a decode scan.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30
+
+
+def _attend_block(q_mat, k_blk, v_blk, mask, xk_blk, xv_blk, x_mask,
+                  scale, ks_row, vs_row):
+    """q_mat: [R, hd] f32; k_blk/v_blk: [P, hd] (any dtype, incl. int8);
+    mask: [R, P] bool; xk/xv: [Sx, hd] or None; x_mask: [R, Sx];
+    ks_row/vs_row: [P] f32 per-slot scales or None. Returns [R, hd] f32."""
+    kd = k_blk.astype(q_mat.dtype)
+    s1 = jax.lax.dot_general(q_mat, kd, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+    if ks_row is not None:
+        s1 = s1 * ks_row[None, :]
+    s1 = jnp.where(mask, s1, _NEG)
+
+    def pv(e, v):
+        return jax.lax.dot_general(e.astype(jnp.float32),
+                                   v.astype(jnp.float32),
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    if xk_blk is not None:
+        s2 = jax.lax.dot_general(q_mat, xk_blk.astype(q_mat.dtype),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        s2 = jnp.where(x_mask, s2, _NEG)
+        m = jnp.maximum(jnp.max(s1, -1, keepdims=True),
+                        jnp.max(s2, -1, keepdims=True))
+        m = jnp.maximum(m, _NEG / 2)          # fully-masked row guard
+        e1 = jnp.where(mask, jnp.exp(s1 - m), 0.0)
+        e2 = jnp.where(x_mask, jnp.exp(s2 - m), 0.0)
+        denom = jnp.maximum(
+            jnp.sum(e1, -1, keepdims=True) + jnp.sum(e2, -1, keepdims=True),
+            1e-30)
+        if vs_row is not None:
+            e1 = e1 * vs_row[None, :]
+        return (pv(e1, v_blk) + pv(e2, xv_blk)) / denom
+    m = jnp.maximum(jnp.max(s1, -1, keepdims=True), _NEG / 2)
+    e1 = jnp.where(mask, jnp.exp(s1 - m), 0.0)
+    denom = jnp.maximum(jnp.sum(e1, -1, keepdims=True), 1e-30)
+    if vs_row is not None:
+        e1 = e1 * vs_row[None, :]
+    return pv(e1, v_blk) / denom
+
+
+def _kernel(refs, *, window, group, hd, has_extra, has_scales):
+    """Grid (B, Hkv*hd//128). Ref order: q, k, v, sp, qp,
+    [ks, vs,] [xk, xv, xp,] out. Block shapes:
+    q/out [1, S, group*128]; k/v [1, P, 128]; xk/xv [1, Sx, 128].
+    Position tables sp [B, P] / qp [B, S] / xp [B, Sx] and scale tables
+    ks/vs [B, Hkv, P] arrive UNBLOCKED (sublane-1 int32/f32 blocks are not
+    lowerable) and are row-indexed by the program ids."""
+    it = iter(refs)
+    q_ref, k_ref, v_ref, sp_ref, qp_ref = (next(it) for _ in range(5))
+    ks_ref = vs_ref = xk_ref = xv_ref = xp_ref = None
+    if has_scales:
+        ks_ref, vs_ref = next(it), next(it)
+    if has_extra:
+        xk_ref, xv_ref, xp_ref = next(it), next(it), next(it)
+    o_ref = next(it)
+
+    sub = k_ref.shape[2] // hd          # kv sub-heads in this lane block
+    scale = 1.0 / math.sqrt(hd)
+    bi = pl.program_id(0)
+    n = pl.program_id(1)
+    qp = qp_ref[bi, :]                                   # [S]
+    sp = sp_ref[bi, :]                                   # [P]
+    lo = qp - (window - 1)
+    mask = ((sp[None, :] >= 0) & (sp[None, :] <= qp[:, None])
+            & (sp[None, :] >= lo[:, None]))              # [S, P]
+    x_mask = None
+    if has_extra:
+        xp = xp_ref[bi, :]
+        x_mask = ((xp[None, :] >= 0) & (xp[None, :] <= qp[:, None])
+                  & (xp[None, :] >= lo[:, None]))        # [S, Sx]
+    q_all = q_ref[0]                                     # [S, group*128]
+
+    for j in range(sub):                # static unroll over kv sub-heads
+        k_blk = k_ref[0, :, j * hd:(j + 1) * hd]         # [P, hd]
+        v_blk = v_ref[0, :, j * hd:(j + 1) * hd]
+        ks_row = vs_row = None
+        if has_scales:
+            ks_row = ks_ref[bi, n * sub + j, :]          # [P] f32
+            vs_row = vs_ref[bi, n * sub + j, :]
+        xk_blk = xv_blk = None
+        if has_extra:
+            xk_blk = xk_ref[0, :, j * hd:(j + 1) * hd]   # [Sx, hd]
+            xv_blk = xv_ref[0, :, j * hd:(j + 1) * hd]
+        for g in range(group):          # static unroll over grouped q heads
+            # kv head (n*sub + j)'s g-th grouped q head is block-relative
+            # head j*group + g (q heads are contiguous per kv head)
+            c0 = (j * group + g) * hd
+            q_mat = q_all[:, c0:c0 + hd].astype(jnp.float32)  # [S, hd]
+            o = _attend_block(q_mat, k_blk, v_blk, mask, xk_blk, xv_blk,
+                              x_mask, scale, ks_row, vs_row)
+            o_ref[0, :, c0:c0 + hd] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "heads", "kv_heads",
+                                             "head_dim", "interpret"))
+def ring_gqa_attention(q, k_ring, v_ring, slot_pos, q_pos, *,
+                       window: int, heads: int, kv_heads: int, head_dim: int,
+                       k_scale=None, v_scale=None,
+                       extra_k=None, extra_v=None, extra_pos=None,
+                       interpret: bool = False):
+    """Batched fused ring attention.
+
+    q: [B, S, heads*head_dim]; k_ring/v_ring: [B, P, kv_heads*head_dim]
+    (bf16/f32, or int8 with k_scale/v_scale [B, kv_heads, P] f32);
+    slot_pos: [B, P] int32 (logical position per slot, negative = invalid);
+    q_pos: [B, S] int32; extra_k/v: [B, Sx, kv_heads*head_dim] float with
+    extra_pos [B, Sx]. Returns [B, S, heads*head_dim] in q.dtype.
+    """
+    b, s, qd = q.shape
+    p = k_ring.shape[1]
+    assert qd == heads * head_dim
+    group = heads // kv_heads
+    assert 128 % head_dim == 0, head_dim
+    kv_dim = kv_heads * head_dim
+    # lane width of one KV block: 128, or the whole (sub-128) head axis —
+    # a lane block equal to the full array dim is always lowerable
+    blk = min(128, kv_dim)
+    n_blocks = kv_dim // blk
+    has_extra = extra_k is not None
+    has_scales = k_scale is not None
+    qlanes = group * blk
+
+    in_specs = [
+        pl.BlockSpec((1, s, qlanes), lambda i, n: (i, 0, n),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, p, blk), lambda i, n: (i, 0, n),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, p, blk), lambda i, n: (i, 0, n),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, p), lambda i, n: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, s), lambda i, n: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [q, k_ring, v_ring, slot_pos,
+            jnp.asarray(q_pos, jnp.int32).reshape(b, s)]
+    if has_scales:
+        in_specs += [pl.BlockSpec((b, kv_heads, p), lambda i, n: (0, 0, 0),
+                                  memory_space=pltpu.VMEM)] * 2
+        args += [k_scale, v_scale]
+    if has_extra:
+        sx = extra_k.shape[1]
+        in_specs += [
+            pl.BlockSpec((1, sx, blk), lambda i, n: (i, 0, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sx, blk), lambda i, n: (i, 0, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, sx), lambda i, n: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [extra_k, extra_v, jnp.asarray(extra_pos, jnp.int32)]
+
+    def kernel(*refs):
+        _kernel(refs, window=window, group=group, hd=head_dim,
+                has_extra=has_extra, has_scales=has_scales)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_blocks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, s, qlanes), lambda i, n: (i, 0, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, qd), q.dtype),
+        interpret=interpret,
+    )(*args)
+
+
+def ring_attention(q, k_ring, v_ring, slot_pos, q_pos, *,
+                   window: int, heads: int, kv_heads: int, head_dim: int,
+                   k_scale=None, v_scale=None, extra_kv=None,
+                   force_pallas: bool | None = None):
+    """Backend dispatcher used by the models.
+
+    On TPU (or when rings are int8, which only the fused kernel supports)
+    runs the Pallas kernel; on CPU runs it in interpreter mode for int8 or
+    falls back to the XLA oracle for float rings. Trace-time static choice.
+    """
+    on_tpu = jax.default_backend() == "tpu"
+    use_pallas = force_pallas if force_pallas is not None \
+        else (on_tpu or k_scale is not None)
+    xk = xv = xp = None
+    if extra_kv is not None:
+        xk, xv, xp = extra_kv
+    if use_pallas:
+        return ring_gqa_attention(
+            q, k_ring, v_ring, slot_pos, q_pos, window=window, heads=heads,
+            kv_heads=kv_heads, head_dim=head_dim, k_scale=k_scale,
+            v_scale=v_scale, extra_k=xk, extra_v=xv, extra_pos=xp,
+            interpret=not on_tpu)
+    from voxtral_tpu.ops.attention import ring_decode_attention
+    b, s, qd = q.shape
+    p = k_ring.shape[1]
+
+    def one(qb, kb, vb, spb, qpb, *ex):
+        out = ring_decode_attention(
+            qb.reshape(s, heads, head_dim),
+            kb.reshape(p, kv_heads, head_dim),
+            vb.reshape(p, kv_heads, head_dim),
+            slot_pos=spb, q_pos=qpb, window=window,
+            extra_kv=None if not ex else
+            (ex[0].reshape(-1, kv_heads, head_dim),
+             ex[1].reshape(-1, kv_heads, head_dim), ex[2]))
+        return out.reshape(s, qd)
+
+    qp2 = jnp.asarray(q_pos, jnp.int32).reshape(b, s)
+    if extra_kv is None:
+        return jax.vmap(one)(q, k_ring, v_ring, slot_pos, qp2)
+    return jax.vmap(one)(q, k_ring, v_ring, slot_pos, qp2, xk, xv, xp)

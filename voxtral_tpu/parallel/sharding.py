@@ -88,6 +88,7 @@ def fleet_state_pspecs(cfg: VoxtralConfig) -> "FleetStatePspecs":
         encoder=EncoderState(
             k_ring=(ring,) * enc_l,
             v_ring=(ring,) * enc_l,
+            k_scale=None, v_scale=None,
             slot_pos=P(DATA),
             pending_k=(ring,) * enc_l,
             pending_v=(ring,) * enc_l,
@@ -96,6 +97,7 @@ def fleet_state_pspecs(cfg: VoxtralConfig) -> "FleetStatePspecs":
         decode=DecodeState(
             k_ring=(ring,) * dec_l,
             v_ring=(ring,) * dec_l,
+            k_scale=None, v_scale=None,
             slot_pos=P(DATA),
             pending_k=(ring,) * dec_l,
             pending_v=(ring,) * dec_l,

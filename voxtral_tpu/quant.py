@@ -87,6 +87,24 @@ def quantize_jax(arr: jax.Array, axis: int = -1) -> Quantized:
     return Quantized(q=q, s=scales, axis=axis % a.ndim if axis != -1 else -1)
 
 
+def quantize_kv(x: jax.Array, kv_heads: int, head_dim: int):
+    """Quantize a KV block [B, S, kv_heads*head_dim] (float) to the int8
+    ring representation: (int8 [B, S, K], scales [B, kv_heads, S] f32 —
+    the [B, Hkv, P] layout the fused attention kernel reads).
+
+    Scale is per (stream, slot, kv-head), symmetric amax/127 — the same
+    rule as Q8 weights (quantize.py:34-43) applied per cache entry. The
+    kernel never dequantizes: K scales multiply score columns, V scales
+    fold into probability columns."""
+    b, s, _ = x.shape
+    x4 = x.astype(jnp.float32).reshape(b, s, kv_heads, head_dim)
+    amax = jnp.max(jnp.abs(x4), axis=-1)            # [B, S, Hkv]
+    scales = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(x4 / scales[..., None]), -127, 127)
+    return (q.astype(jnp.int8).reshape(b, s, kv_heads * head_dim),
+            jnp.swapaxes(scales, 1, 2))             # [B, Hkv, S]
+
+
 # Param-tree keys carrying the big 2-D matmul weights (per section).
 _Q8_LAYER_KEYS = ("wq", "wk", "wv", "wo", "w1", "w2", "w3")
 

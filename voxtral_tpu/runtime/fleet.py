@@ -45,22 +45,28 @@ class FleetState(NamedTuple):
 
 def init_fleet_state(cfg: VoxtralConfig, batch: int, *, enc_ring: int = 1280,
                      dec_ring: int | None = None, dtype=None,
-                     max_mel_chunk: int = 320) -> FleetState:
+                     max_mel_chunk: int = 320,
+                     kv_dtype: str = "float") -> FleetState:
     """max_mel_chunk: the largest mel chunk any step will see (including
     bootstrap) — it sizes the pending KV blocks (mel/2 encoder positions,
     mel/8 decoder tokens). Folding stays exact as long as the pending fits
-    the ring's out-of-window margin (see models/decoder.py)."""
+    the ring's out-of-window margin (see models/decoder.py).
+
+    kv_dtype="int8": quantized KV rings (halved HBM footprint + attention
+    traffic; see models/decoder.py docstring)."""
     dt = dtype or cfg.compute_dtype
     e, d = cfg.encoder, cfg.decoder
     dec = init_decode_state(cfg, batch=batch, dtype=dt,
                             ring_size=dec_ring,
-                            pending_size=max_mel_chunk // 8)
+                            pending_size=max_mel_chunk // 8,
+                            kv_dtype=kv_dtype)
     return FleetState(
         mel_tail=jnp.zeros((batch, cfg.audio.mel_bins, 2), jnp.float32),
         conv0_tail=jnp.zeros((batch, e.dim, 2), jnp.float32),
         encoder=init_encoder_state(cfg, ring_size=enc_ring, batch=batch,
                                    dtype=dt,
-                                   pending_size=max_mel_chunk // 2),
+                                   pending_size=max_mel_chunk // 2,
+                                   kv_dtype=kv_dtype),
         decode=dec,
     )
 
