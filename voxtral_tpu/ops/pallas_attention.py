@@ -47,7 +47,11 @@ def _attend_block(q_mat, k_blk, v_blk, mask, xk_blk, xv_blk, x_mask,
     """q_mat: [R, hd] f32; k_blk/v_blk: [P, hd] (any dtype, incl. int8);
     mask: [R, P] bool; xk/xv: [Sx, hd] or None; x_mask: [R, Sx];
     ks_row/vs_row: [P] f32 per-slot scales or None. Returns [R, hd] f32."""
-    kd = k_blk.astype(q_mat.dtype)
+    # MXU operands stay low-precision (f32 matmul is several times slower
+    # and would upcast the whole ring slice); accumulation is f32 via
+    # preferred_element_type. The oracle rounds probs to V's dtype too.
+    mxu_dt = q_mat.dtype
+    kd = k_blk.astype(mxu_dt)
     s1 = jax.lax.dot_general(q_mat, kd, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32) * scale
     if ks_row is not None:
@@ -55,13 +59,12 @@ def _attend_block(q_mat, k_blk, v_blk, mask, xk_blk, xv_blk, x_mask,
     s1 = jnp.where(mask, s1, _NEG)
 
     def pv(e, v):
-        return jax.lax.dot_general(e.astype(jnp.float32),
-                                   v.astype(jnp.float32),
+        return jax.lax.dot_general(e.astype(mxu_dt), v.astype(mxu_dt),
                                    (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
     if xk_blk is not None:
-        s2 = jax.lax.dot_general(q_mat, xk_blk.astype(q_mat.dtype),
+        s2 = jax.lax.dot_general(q_mat, xk_blk.astype(mxu_dt),
                                  (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32) * scale
         s2 = jnp.where(x_mask, s2, _NEG)
@@ -85,12 +88,13 @@ def _attend_block(q_mat, k_blk, v_blk, mask, xk_blk, xv_blk, x_mask,
 
 
 def _kernel(refs, *, window, group, hd, has_extra, has_scales):
-    """Grid (B, Hkv*hd//128). Ref order: q, k, v, sp, qp,
+    """Grid (B, Hkv*hd//blk). Ref order: q, k, v, sp, qp,
     [ks, vs,] [xk, xv, xp,] out. Block shapes:
-    q/out [1, S, group*128]; k/v [1, P, 128]; xk/xv [1, Sx, 128].
-    Position tables sp [B, P] / qp [B, S] / xp [B, Sx] and scale tables
-    ks/vs [B, Hkv, P] arrive UNBLOCKED (sublane-1 int32/f32 blocks are not
-    lowerable) and are row-indexed by the program ids."""
+    q/out [1, S, group*blk]; k/v [1, P, blk]; xk/xv [1, Sx, blk];
+    sp [1, 1, P] / qp [1, 1, S] / xp [1, 1, Sx]; ks/vs [1, 1, sub, P].
+    Every cell fetches ONLY its own rows — a full-table spec with a
+    constant index_map is re-DMA'd per grid cell (measured ~5x kernel
+    slowdown at B=24 from position+scale table refetches)."""
     it = iter(refs)
     q_ref, k_ref, v_ref, sp_ref, qp_ref = (next(it) for _ in range(5))
     ks_ref = vs_ref = xk_ref = xv_ref = xp_ref = None
@@ -102,36 +106,50 @@ def _kernel(refs, *, window, group, hd, has_extra, has_scales):
 
     sub = k_ref.shape[2] // hd          # kv sub-heads in this lane block
     scale = 1.0 / math.sqrt(hd)
-    bi = pl.program_id(0)
-    n = pl.program_id(1)
-    qp = qp_ref[bi, :]                                   # [S]
-    sp = sp_ref[bi, :]                                   # [P]
+    qp = qp_ref[0, 0, :]                                 # [S]
+    sp = sp_ref[0, 0, :]                                 # [P]
     lo = qp - (window - 1)
     mask = ((sp[None, :] >= 0) & (sp[None, :] <= qp[:, None])
             & (sp[None, :] >= lo[:, None]))              # [S, P]
     x_mask = None
     if has_extra:
-        xp = xp_ref[bi, :]
+        xp = xp_ref[0, 0, :]
         x_mask = ((xp[None, :] >= 0) & (xp[None, :] <= qp[:, None])
                   & (xp[None, :] >= lo[:, None]))        # [S, Sx]
-    q_all = q_ref[0]                                     # [S, group*128]
+    q_all = q_ref[0]                                     # [S, group*blk]
 
     for j in range(sub):                # static unroll over kv sub-heads
         k_blk = k_ref[0, :, j * hd:(j + 1) * hd]         # [P, hd]
         v_blk = v_ref[0, :, j * hd:(j + 1) * hd]
         ks_row = vs_row = None
         if has_scales:
-            ks_row = ks_ref[bi, n * sub + j, :]          # [P] f32
-            vs_row = vs_ref[bi, n * sub + j, :]
+            ks_row = ks_ref[0, 0, j, :]                  # [P] f32
+            vs_row = vs_ref[0, 0, j, :]
         xk_blk = xv_blk = None
         if has_extra:
             xk_blk = xk_ref[0, :, j * hd:(j + 1) * hd]   # [Sx, hd]
             xv_blk = xv_ref[0, :, j * hd:(j + 1) * hd]
+        s = q_all.shape[0]
+        if s == 1 and group > 1 and hd % 128 == 0:
+            # Decode fast path: the kv head's `group` q heads are CONTIGUOUS
+            # lanes, so a single-row q block reshapes to [group, hd] rows —
+            # ONE [group, P] dot instead of `group` M=1 dots (M=1 MXU passes
+            # are latency-bound; this was the kernel's dominant cost).
+            # Gated on hd % 128 == 0: the [1, group*hd] -> [group, hd]
+            # reshape keeps lanes 128-aligned only then (Mosaic rejects
+            # sub-lane shape casts, e.g. the hd=32 tiny-test config).
+            c0 = j * group * hd
+            q_mat = q_all[0, c0:c0 + group * hd].reshape(group, hd)
+            o = _attend_block(q_mat, k_blk, v_blk, mask, xk_blk, xv_blk,
+                              x_mask, scale, ks_row, vs_row)   # [group, hd]
+            o_ref[0, :, c0:c0 + group * hd] = (
+                o.reshape(1, group * hd).astype(o_ref.dtype))
+            continue
         for g in range(group):          # static unroll over grouped q heads
             # kv head (n*sub + j)'s g-th grouped q head is block-relative
             # head j*group + g (q heads are contiguous per kv head)
             c0 = (j * group + g) * hd
-            q_mat = q_all[:, c0:c0 + hd].astype(jnp.float32)  # [S, hd]
+            q_mat = q_all[:, c0:c0 + hd]                      # [S, hd]
             o = _attend_block(q_mat, k_blk, v_blk, mask, xk_blk, xv_blk,
                               x_mask, scale, ks_row, vs_row)
             o_ref[0, :, c0:c0 + hd] = o.astype(o_ref.dtype)
@@ -158,9 +176,14 @@ def ring_gqa_attention(q, k_ring, v_ring, slot_pos, q_pos, *,
     group = heads // kv_heads
     assert 128 % head_dim == 0, head_dim
     kv_dim = kv_heads * head_dim
-    # lane width of one KV block: 128, or the whole (sub-128) head axis —
-    # a lane block equal to the full array dim is always lowerable
-    blk = min(128, kv_dim)
+    # Lane width of one KV block: 256 measured fastest (fewer cells, same
+    # DMA); fall back to 128, or the whole (sub-128) head axis — a lane
+    # block equal to the full array dim is always lowerable.
+    for blk in (256, 128):
+        if kv_dim % blk == 0:
+            break
+    else:
+        blk = kv_dim
     n_blocks = kv_dim // blk
     has_extra = extra_k is not None
     has_scales = k_scale is not None
@@ -173,15 +196,22 @@ def ring_gqa_attention(q, k_ring, v_ring, slot_pos, q_pos, *,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, p, blk), lambda i, n: (i, 0, n),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((b, p), lambda i, n: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((b, s), lambda i, n: (0, 0), memory_space=pltpu.VMEM),
+        # per-cell row slices ([1,1,...] leading blocks); see _kernel doc
+        pl.BlockSpec((1, 1, p), lambda i, n: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, s), lambda i, n: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
     ]
-    args = [q, k_ring, v_ring, slot_pos,
-            jnp.asarray(q_pos, jnp.int32).reshape(b, s)]
+    sub = blk // head_dim
+    args = [q, k_ring, v_ring, slot_pos.reshape(b, 1, p),
+            jnp.asarray(q_pos, jnp.int32).reshape(b, 1, s)]
     if has_scales:
-        in_specs += [pl.BlockSpec((b, kv_heads, p), lambda i, n: (0, 0, 0),
+        # [B, Hkv, P] -> [B, n_blocks, sub, P]: each cell reads only its
+        # own sub-heads' scale rows
+        in_specs += [pl.BlockSpec((1, 1, sub, p), lambda i, n: (i, n, 0, 0),
                                   memory_space=pltpu.VMEM)] * 2
-        args += [k_scale, v_scale]
+        args += [k_scale.reshape(b, n_blocks, sub, p),
+                 v_scale.reshape(b, n_blocks, sub, p)]
     if has_extra:
         sx = extra_k.shape[1]
         in_specs += [
@@ -189,10 +219,11 @@ def ring_gqa_attention(q, k_ring, v_ring, slot_pos, q_pos, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sx, blk), lambda i, n: (i, 0, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, sx), lambda i, n: (0, 0),
+            pl.BlockSpec((1, 1, sx), lambda i, n: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
-        args += [extra_k, extra_v, jnp.asarray(extra_pos, jnp.int32)]
+        args += [extra_k, extra_v,
+                 jnp.asarray(extra_pos, jnp.int32).reshape(b, 1, sx)]
 
     def kernel(*refs):
         _kernel(refs, window=window, group=group, hd=head_dim,
