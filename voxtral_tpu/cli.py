@@ -65,7 +65,7 @@ def build(args):
 
     if args.tiny:
         cfg = tiny_config()
-        cfg = cfg.with_dtype(jnp.float32 if args.parity else jnp.float32)
+        cfg = cfg.with_dtype(jnp.float32 if args.parity else dtype)
     else:
         cfg = voxtral_4b(param_dtype=dtype, compute_dtype=dtype)
 
@@ -178,11 +178,27 @@ def run_stdin(args, params, cfg, tokenizer):
     print(flush=True)
 
 
+def run_mic(args, params, cfg, tokenizer):
+    from voxtral_tpu.audio.mic import mic_loop
+    from voxtral_tpu.runtime import StreamConfig, VoxStream
+
+    s = VoxStream(params, cfg, tokenizer=tokenizer, stream_cfg=StreamConfig(
+        interval=args.interval, delay_tokens=args.delay // 80,
+        continuous=True, monitor=args.monitor,
+        n_alt=4 if args.alt is not None else 1,
+        alt_cutoff=args.alt if args.alt is not None else 0.0))
+    mic_loop(s, lambda st: drain(st, args), rate=cfg.audio.sample_rate,
+             log=lambda m: log(args, 1, m))
+    print(flush=True)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="voxtral_tpu")
     ap.add_argument("-d", "--model-dir", default=None)
     ap.add_argument("-i", "--input", default=None, help="WAV file")
     ap.add_argument("--stdin", action="store_true")
+    ap.add_argument("--from-mic", action="store_true",
+                    help="live microphone (arecord/ffmpeg backend)")
     ap.add_argument("--batch", action="store_true")
     ap.add_argument("-I", "--interval", type=float, default=2.0)
     ap.add_argument("--delay", type=int, default=480)
@@ -198,13 +214,15 @@ def main(argv=None):
 
     args.verbosity = 2 if args.debug else (0 if args.silent else 1)
     args.delay = max(80, min(2400, args.delay))
-    if not args.input and not args.stdin:
-        ap.error("need -i FILE or --stdin")
+    if not args.input and not args.stdin and not args.from_mic:
+        ap.error("need -i FILE, --stdin, or --from-mic")
     if not args.model_dir and args.random_init is None:
         ap.error("need -d MODEL_DIR or --random-init SEED")
 
     params, cfg, tokenizer = build(args)
-    if args.stdin:
+    if args.from_mic:
+        run_mic(args, params, cfg, tokenizer)
+    elif args.stdin:
         run_stdin(args, params, cfg, tokenizer)
     else:
         run_file(args, params, cfg, tokenizer)
