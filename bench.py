@@ -27,7 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from voxtral_tpu.config import voxtral_4b
 from voxtral_tpu.models.decoder import ada_scales, time_conditioning
-from voxtral_tpu.runtime.fleet import fleet_bootstrap, fleet_step, init_fleet_state
+from voxtral_tpu.runtime.fleet import (
+    fleet_bootstrap_pcm, fleet_step_pcm, init_fleet_state)
 from voxtral_tpu.weights import random_params_device
 
 BASELINE_AUDIO_S_PER_S = 2.5   # reference headline (README.md:328)
@@ -43,12 +44,13 @@ def bench_fleet(params, cfg, t_ada, batch, chunk_mel, enc_ring, dec_ring,
                              dec_ring=dec_ring, max_mel_chunk=320,
                              kv_dtype=kv_dtype)
     rng = np.random.RandomState(0)
-    mel0 = jnp.asarray(rng.rand(batch, cfg.audio.mel_bins, 320)
-                       .astype(np.float32))
-    mel = jnp.asarray(rng.rand(batch, cfg.audio.mel_bins, chunk_mel)
+    hop = cfg.audio.hop_length
+    # raw PCM in: the step computes mel on device (fleet_step_pcm)
+    pcm0 = jnp.asarray((rng.rand(batch, 320 * hop) - 0.5).astype(np.float32))
+    pcm = jnp.asarray((rng.rand(batch, chunk_mel * hop) - 0.5)
                       .astype(np.float32))
     t0 = time.perf_counter()
-    state, tokens, _ = fleet_bootstrap(params, cfg, state, mel0, t_ada)
+    state, tokens, _ = fleet_bootstrap_pcm(params, cfg, state, pcm0, t_ada)
     # Host transfer each sync point: on the axon tunnel, block_until_ready
     # can swallow async device failures (an OOM once masqueraded as a
     # 0.2 ms "step") — np.asarray forces a real round-trip and raises.
@@ -56,12 +58,12 @@ def bench_fleet(params, cfg, t_ada, batch, chunk_mel, enc_ring, dec_ring,
     log(f"  bootstrap+compile: {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
     for _ in range(warmup):
-        state, tokens, _ = fleet_step(params, cfg, state, mel, t_ada)
+        state, tokens, _ = fleet_step_pcm(params, cfg, state, pcm, t_ada)
     np.asarray(tokens)
     log(f"  warmup ({warmup} steps): {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, tokens, _ = fleet_step(params, cfg, state, mel, t_ada)
+        state, tokens, _ = fleet_step_pcm(params, cfg, state, pcm, t_ada)
         np.asarray(tokens)
     dt = time.perf_counter() - t0
     audio_s = batch * (chunk_mel / 100.0) * iters

@@ -1,0 +1,86 @@
+"""Device-side mel (fleet PCM path) parity: chunked _device_log_mel over the
+padded stream must equal batch_log_mel of the whole padded signal frame-for-
+frame, and fleet_step_pcm must produce the same tokens as the host-mel fleet
+path fed batch mel of the same audio."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from voxtral_tpu.audio.mel import batch_log_mel, pad_audio_offline
+from voxtral_tpu.models.decoder import ada_scales, time_conditioning
+from voxtral_tpu.runtime.fleet import (
+    _device_log_mel, fleet_bootstrap, fleet_bootstrap_pcm, fleet_step,
+    fleet_step_pcm, init_fleet_state, pcm_stream,
+)
+
+
+def test_device_mel_matches_batch(tiny_cfg):
+    rng = np.random.RandomState(0)
+    audio = (rng.randn(3 * 16000) * 0.3).astype(np.float32)
+    padded = pad_audio_offline(audio, tiny_cfg.audio, tiny_cfg.streaming)
+    ref = batch_log_mel(padded, tiny_cfg.audio)          # [mel, F]
+
+    hop = tiny_cfg.audio.hop_length
+    lap = tiny_cfg.audio.window_size - hop
+    stream = pcm_stream(padded, tiny_cfg)
+    tail = jnp.zeros((1, lap), jnp.float32)
+    chunks = []
+    step = 64 * hop                                       # 64 frames/chunk
+    usable = (len(stream) // step) * step
+    for i in range(0, usable, step):
+        mel, tail = _device_log_mel(
+            tiny_cfg, tail, jnp.asarray(stream[None, i:i + step]))
+        chunks.append(np.asarray(mel[0]))
+    got = np.concatenate(chunks, axis=1)
+    n = got.shape[1]
+    assert n <= ref.shape[1]
+    np.testing.assert_allclose(got, ref[:, :n], rtol=2e-4, atol=2e-4)
+
+
+def test_fleet_pcm_tokens_match_host_mel(tiny_cfg, tiny_params):
+    rng = np.random.RandomState(1)
+    audio = (rng.randn(4 * 16000) * 0.3).astype(np.float32)
+    padded = pad_audio_offline(audio, tiny_cfg.audio, tiny_cfg.streaming)
+    t_ada = ada_scales(tiny_params["decoder"],
+                       time_conditioning(tiny_cfg.streaming.delay_tokens,
+                                         tiny_cfg.decoder.dim))
+    hop = tiny_cfg.audio.hop_length
+    T0, T = 320, 160                                     # mel frames
+
+    def run(pcm_mode):
+        state = init_fleet_state(tiny_cfg, batch=1, enc_ring=256,
+                                 dec_ring=128, max_mel_chunk=T0)
+        toks = []
+        mel_full = batch_log_mel(padded, tiny_cfg.audio)
+        n_steps = (min(mel_full.shape[1],
+                       (len(padded) // hop)) - T0) // T
+        stream = pcm_stream(padded, tiny_cfg)
+        if pcm_mode:
+            state, t, _ = fleet_bootstrap_pcm(
+                tiny_params, tiny_cfg, state,
+                jnp.asarray(stream[None, :T0 * hop]), t_ada)
+            toks.append(np.asarray(t))
+            for c in range(n_steps):
+                s0 = (T0 + c * T) * hop
+                state, t, _ = fleet_step_pcm(
+                    tiny_params, tiny_cfg, state,
+                    jnp.asarray(stream[None, s0:s0 + T * hop]), t_ada)
+                toks.append(np.asarray(t))
+        else:
+            state, t, _ = fleet_bootstrap(
+                tiny_params, tiny_cfg, state,
+                jnp.asarray(mel_full[None, :, :T0]), t_ada)
+            toks.append(np.asarray(t))
+            for c in range(n_steps):
+                f0 = T0 + c * T
+                state, t, _ = fleet_step(
+                    tiny_params, tiny_cfg, state,
+                    jnp.asarray(mel_full[None, :, f0:f0 + T]), t_ada)
+                toks.append(np.asarray(t))
+        return np.concatenate(toks, axis=1)[0]
+
+    t_pcm = run(True)
+    t_mel = run(False)
+    assert t_pcm.shape == t_mel.shape
+    agree = (t_pcm == t_mel).mean()
+    assert agree >= 0.98, (agree, t_pcm, t_mel)

@@ -1,0 +1,101 @@
+"""FleetManager: per-stream isolation on shared batched state.
+
+The load-bearing invariants:
+- a stream served alone produces the same tokens as the same audio served
+  in a busy fleet (masking + logical-position rings keep slots independent);
+- a stream ATTACHED MID-FLIGHT (forced prompt replay inside a live fleet)
+  still matches its solo run;
+- watchdog restarts fire and the stream keeps producing.
+"""
+
+import numpy as np
+import pytest
+
+from voxtral_tpu.runtime.manager import FleetManager
+
+
+def _audio(seed, seconds=3.0):
+    rng = np.random.RandomState(seed)
+    return (rng.randn(int(seconds * 16000)) * 0.3).astype(np.float32)
+
+
+def _serve(mgr, feeds):
+    """feeds: {sid: np.ndarray}. Feed 1 s chunks round-robin, finish, drain."""
+    bufs = {sid: a for sid, a in feeds.items()}
+    pos = {sid: 0 for sid in feeds}
+    while any(pos[sid] < len(a) for sid, a in bufs.items()):
+        for sid, a in bufs.items():
+            if pos[sid] < len(a):
+                mgr.feed(sid, a[pos[sid]:pos[sid] + 16000])
+                pos[sid] += 16000
+        mgr.poll()
+    for sid in feeds:
+        mgr.finish(sid)
+    # drain all finishing chunks
+    for _ in range(64):
+        if all(mgr.is_finished(sid) for sid in feeds):
+            break
+        mgr.poll()
+    return {sid: [t for t, _ in mgr.get(sid)] for sid in feeds}
+
+
+def _solo_tokens(params, cfg, audio):
+    mgr = FleetManager(params, cfg, batch=1, chunk_tokens=8,
+                       dec_ring=256, continuous=True)
+    sid = mgr.attach()
+    return _serve(mgr, {sid: audio})[sid]
+
+
+def test_two_streams_match_solo(tiny_cfg, tiny_params):
+    a0, a1 = _audio(1), _audio(2, seconds=2.0)
+    solo0 = _solo_tokens(tiny_params, tiny_cfg, a0)
+    solo1 = _solo_tokens(tiny_params, tiny_cfg, a1)
+
+    mgr = FleetManager(tiny_params, tiny_cfg, batch=2, chunk_tokens=8,
+                       dec_ring=256, continuous=True)
+    s0, s1 = mgr.attach(), mgr.attach()
+    got = _serve(mgr, {s0: a0, s1: a1})
+    assert got[s0] == solo0
+    assert got[s1] == solo1
+
+
+def test_mid_flight_attach_matches_solo(tiny_cfg, tiny_params):
+    a0, a1 = _audio(3, seconds=4.0), _audio(4, seconds=2.0)
+    solo1 = _solo_tokens(tiny_params, tiny_cfg, a1)
+
+    mgr = FleetManager(tiny_params, tiny_cfg, batch=2, chunk_tokens=8,
+                       dec_ring=256, continuous=True)
+    s0 = mgr.attach()
+    # run stream 0 alone for 2 s
+    mgr.feed(s0, a0[:32000])
+    mgr.poll()
+    # now attach stream 1 mid-flight (forced prompt replay in live fleet)
+    s1 = mgr.attach()
+    got = _serve(mgr, {s0: a0[32000:], s1: a1})
+    assert got[s1] == solo1
+
+
+def test_watchdog_kv_restart_keeps_stream_alive(tiny_cfg, tiny_params):
+    import voxtral_tpu.runtime.manager as M
+    audio = _audio(5, seconds=4.0)
+    old = M.MAX_DECODE_KV
+    M.MAX_DECODE_KV = 40           # force restarts well within the clip
+    try:
+        mgr = FleetManager(tiny_params, tiny_cfg, batch=1, chunk_tokens=8,
+                           dec_ring=256, continuous=True)
+        sid = mgr.attach()
+        _serve(mgr, {sid: audio})
+        st = mgr.stats()
+        assert st["restarts"] >= 1
+        assert st["generated"] > 0
+        assert not np.isnan(st["generated"])
+    finally:
+        M.MAX_DECODE_KV = old
+
+
+def test_fleet_full_raises(tiny_cfg, tiny_params):
+    mgr = FleetManager(tiny_params, tiny_cfg, batch=1, chunk_tokens=8,
+                       dec_ring=256)
+    mgr.attach()
+    with pytest.raises(RuntimeError):
+        mgr.attach()

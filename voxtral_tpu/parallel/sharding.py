@@ -83,6 +83,7 @@ def fleet_state_pspecs(cfg: VoxtralConfig) -> "FleetStatePspecs":
     ring = P(DATA, None, MODEL)
     enc_l, dec_l = cfg.encoder.layers, cfg.decoder.layers
     return FleetState(
+        pcm_tail=P(DATA),
         mel_tail=P(DATA),
         conv0_tail=P(DATA),
         encoder=EncoderState(

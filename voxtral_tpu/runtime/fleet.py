@@ -37,6 +37,7 @@ from voxtral_tpu.ops.linear import embed_lookup
 
 
 class FleetState(NamedTuple):
+    pcm_tail: jax.Array    # [B, window-hop=240] f32 (device-mel path)
     mel_tail: jax.Array    # [B, mel_bins, 2]
     conv0_tail: jax.Array  # [B, enc_dim, 2]
     encoder: EncoderState  # batched
@@ -61,6 +62,9 @@ def init_fleet_state(cfg: VoxtralConfig, batch: int, *, enc_ring: int = 1280,
                             pending_size=max_mel_chunk // 8,
                             kv_dtype=kv_dtype)
     return FleetState(
+        pcm_tail=jnp.zeros(
+            (batch, cfg.audio.window_size - cfg.audio.hop_length),
+            jnp.float32),
         mel_tail=jnp.zeros((batch, cfg.audio.mel_bins, 2), jnp.float32),
         conv0_tail=jnp.zeros((batch, e.dim, 2), jnp.float32),
         encoder=init_encoder_state(cfg, ring_size=enc_ring, batch=batch,
@@ -84,13 +88,9 @@ def _batched_causal_conv(x, w, b, stride, discard):
     return jax.nn.gelu(y, approximate=False)[:, :, discard:]
 
 
-@partial(jax.jit, static_argnames=("cfg", "stop_at_eos", "collect_topk"),
-         donate_argnums=(2,))
-def fleet_step(params, cfg: VoxtralConfig, state: FleetState,
-               mel: jax.Array, t_ada: jax.Array, *,
-               stop_at_eos: bool = False, collect_topk: int = 0):
-    """mel: [B, mel_bins, T] (T % 8 == 0). Returns (state, tokens [B, T//8],
-    aux)."""
+def _fleet_step_inner(params, cfg: VoxtralConfig, state: FleetState,
+                      mel: jax.Array, t_ada: jax.Array, *,
+                      stop_at_eos: bool = False, collect_topk: int = 0):
     b, _, t = mel.shape
     assert t % 8 == 0, t
     enc_p = params["encoder"]
@@ -113,6 +113,7 @@ def fleet_step(params, cfg: VoxtralConfig, state: FleetState,
         collect_topk=collect_topk, stop_at_eos=stop_at_eos)
 
     new_state = FleetState(
+        pcm_tail=state.pcm_tail,
         mel_tail=mel[:, :, -2:],
         conv0_tail=y[:, :, -2:],
         encoder=enc_state,
@@ -120,11 +121,9 @@ def fleet_step(params, cfg: VoxtralConfig, state: FleetState,
     return new_state, tokens, aux
 
 
-@partial(jax.jit, static_argnames=("cfg", "stop_at_eos"),
-         donate_argnums=(2,))
-def fleet_bootstrap(params, cfg: VoxtralConfig, state: FleetState,
-                    mel: jax.Array, t_ada: jax.Array, *,
-                    stop_at_eos: bool = False):
+def _fleet_bootstrap_inner(params, cfg: VoxtralConfig, state: FleetState,
+                           mel: jax.Array, t_ada: jax.Array, *,
+                           stop_at_eos: bool = False):
     """First chunk of a fresh fleet: encode mel [B, mel_bins, T0]
     (T0 >= 8 * prompt_len, T0 % 8 == 0), prefill the 39-token prompt on the
     first frames, then decode the remainder. Returns (state, tokens
@@ -155,9 +154,31 @@ def fleet_bootstrap(params, cfg: VoxtralConfig, state: FleetState,
     dec, tokens, aux = decode_scan(
         params["decoder"], cfg, dec, rest, jnp.full((b,), n, jnp.int32),
         t_ada, stop_at_eos=stop_at_eos)
-    new_state = FleetState(mel_tail=mel[:, :, -2:], conv0_tail=y[:, :, -2:],
+    new_state = FleetState(pcm_tail=state.pcm_tail, mel_tail=mel[:, :, -2:],
+                           conv0_tail=y[:, :, -2:],
                            encoder=enc_state, decode=dec)
     return new_state, tokens, aux
+
+
+@partial(jax.jit, static_argnames=("cfg", "stop_at_eos", "collect_topk"),
+         donate_argnums=(2,))
+def fleet_step(params, cfg: VoxtralConfig, state: FleetState,
+               mel: jax.Array, t_ada: jax.Array, *,
+               stop_at_eos: bool = False, collect_topk: int = 0):
+    """mel: [B, mel_bins, T] (T % 8 == 0). Returns (state, tokens [B, T//8],
+    aux). See fleet_step_pcm for the raw-audio (device-mel) variant."""
+    return _fleet_step_inner(params, cfg, state, mel, t_ada,
+                             stop_at_eos=stop_at_eos,
+                             collect_topk=collect_topk)
+
+
+@partial(jax.jit, static_argnames=("cfg", "stop_at_eos"),
+         donate_argnums=(2,))
+def fleet_bootstrap(params, cfg: VoxtralConfig, state: FleetState,
+                    mel: jax.Array, t_ada: jax.Array, *,
+                    stop_at_eos: bool = False):
+    return _fleet_bootstrap_inner(params, cfg, state, mel, t_ada,
+                                  stop_at_eos=stop_at_eos)
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
@@ -174,3 +195,154 @@ def fleet_prefill(params, cfg: VoxtralConfig, state: FleetState,
         prev_token=jnp.full((b,), prompt_ids[-1], jnp.int32),
         done=jnp.zeros((b,), bool))
     return state._replace(decode=dec)
+
+
+# ---------------------------------------------------------------------------
+# Device-side mel: raw PCM in, log-mel on the MXU (3 matmuls)
+# ---------------------------------------------------------------------------
+
+def pcm_stream_skew(cfg: VoxtralConfig) -> int:
+    """The PCM fleet path consumes the PADDED sample stream minus its first
+    (window - hop) - window//2 = 40 samples (always zeros: the left pad is
+    32 tokens of silence). The zero pcm_tail then stands in for exactly the
+    200-sample reflect pad, and device frame t covers the same samples as
+    batch_log_mel frame t: [t*hop - 200, t*hop + 200) in padded coords."""
+    a = cfg.audio
+    return (a.window_size - a.hop_length) - a.window_size // 2
+
+
+def pcm_stream(padded: "np.ndarray", cfg: VoxtralConfig):
+    """Padded audio (pad_audio_offline output) -> the stream to feed
+    fleet_*_pcm. Drops the zero skew prefix (see pcm_stream_skew)."""
+    return padded[..., pcm_stream_skew(cfg):]
+
+
+def _device_log_mel(cfg: VoxtralConfig, pcm_tail: jax.Array, pcm: jax.Array):
+    """pcm_tail: [B, window-hop], pcm: [B, T*hop] -> (mel [B, mel_bins, T],
+    new_tail). Frame t covers concat(tail, pcm)[t*hop : t*hop+window] —
+    identical math to audio/mel.py:batch_log_mel (windowed framing + DFT as
+    matmul + Slaney filters), which the reference also uses (precomputed
+    DFT tables, voxtral_audio.c:338-347). On TPU these are three small
+    MXU matmuls per chunk; the host never touches mel."""
+    import numpy as np
+
+    from voxtral_tpu.audio.mel import dft_matrices, hann_window, mel_filters
+    a = cfg.audio
+    b, n = pcm.shape
+    t = n // a.hop_length
+    x = jnp.concatenate([pcm_tail, pcm], axis=1)         # [B, lap + T*hop]
+    idx = (a.hop_length * np.arange(t)[:, None]
+           + np.arange(a.window_size)[None, :])          # [T, window]
+    frames = x[:, idx] * jnp.asarray(hann_window(a.window_size))[None, None]
+    cosm, sinm = dft_matrices(a)
+    re = frames @ jnp.asarray(cosm)                      # [B, T, freq]
+    im = frames @ jnp.asarray(sinm)
+    power = re * re + im * im
+    mel = power @ jnp.asarray(mel_filters(a))            # [B, T, mel]
+    log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
+    log_spec = jnp.maximum(log_spec, a.log_mel_max - 8.0)
+    mel_out = jnp.swapaxes((log_spec + 4.0) / 4.0, 1, 2) # [B, mel, T]
+    lap = a.window_size - a.hop_length
+    return mel_out.astype(jnp.float32), x[:, -lap:]
+
+
+@partial(jax.jit, static_argnames=("cfg", "stop_at_eos", "collect_topk"),
+         donate_argnums=(2,))
+def fleet_step_pcm(params, cfg: VoxtralConfig, state: FleetState,
+                   pcm: jax.Array, t_ada: jax.Array, *,
+                   stop_at_eos: bool = False, collect_topk: int = 0):
+    """End-to-end step from raw audio: pcm [B, T*160] f32 (T % 8 == 0 mel
+    frames worth of samples). The stream's padding contract is the host's:
+    feed left-pad zeros first (the initial zero pcm_tail covers the
+    200-sample reflect pad, since the padded stream starts with silence),
+    and right-pad + reflection on finish (see runtime/manager.py)."""
+    mel, tail = _device_log_mel(cfg, state.pcm_tail, pcm)
+    state = state._replace(pcm_tail=tail)
+    new_state, tokens, aux = _fleet_step_inner(
+        params, cfg, state, mel, t_ada, stop_at_eos=stop_at_eos,
+        collect_topk=collect_topk)
+    return new_state, tokens, aux
+
+
+@partial(jax.jit, static_argnames=("cfg", "stop_at_eos"),
+         donate_argnums=(2,))
+def fleet_bootstrap_pcm(params, cfg: VoxtralConfig, state: FleetState,
+                        pcm: jax.Array, t_ada: jax.Array, *,
+                        stop_at_eos: bool = False):
+    mel, tail = _device_log_mel(cfg, state.pcm_tail, pcm)
+    state = state._replace(pcm_tail=tail)
+    return _fleet_bootstrap_inner(params, cfg, state, mel, t_ada,
+                                  stop_at_eos=stop_at_eos)
+
+
+@partial(jax.jit, static_argnames=("cfg", "stop_at_eos", "collect_topk"),
+         donate_argnums=(2,))
+def fleet_step_masked(params, cfg: VoxtralConfig, state: FleetState,
+                      pcm: jax.Array, active: jax.Array,
+                      forced_tokens: jax.Array, t_ada: jax.Array, *,
+                      stop_at_eos: bool = False, collect_topk: int = 0):
+    """Serving step with per-stream participation (runtime/manager.py).
+
+    pcm: [B, T*hop] (rows of inactive streams are ignored zeros);
+    active: [B] bool — full-chunk-or-nothing per stream: an inactive
+    stream's tails/cursors/rings are untouched this step (its ring slots
+    may still recycle under the shared lockstep cursor — the documented
+    lag caveat, bounded by the watchdog restarts);
+    forced_tokens: [B, T//8] int32, >= 0 forces the emitted/fed-back token
+    (prompt replay for per-stream starts and watchdog restarts —
+    the reference's stream_reset + re-prefill, voxtral.c:778-824, done
+    here as forced-token decode so ONE program serves every stream state).
+    """
+    b, n_samp = pcm.shape
+    t = n_samp // cfg.audio.hop_length
+    n = t // 8
+    mel, new_tail = _device_log_mel(cfg, state.pcm_tail, pcm)
+    act_col = active[:, None]
+    pcm_tail = jnp.where(act_col, new_tail, state.pcm_tail)
+
+    enc_p = params["encoder"]
+    x0 = jnp.concatenate([state.mel_tail, mel], axis=2)
+    y = _batched_causal_conv(x0, enc_p["conv0_w"], enc_p["conv0_b"], 1, 2)
+    x1 = jnp.concatenate([state.conv0_tail, y], axis=2)
+    c = _batched_causal_conv(x1, enc_p["conv1_w"], enc_p["conv1_b"], 2, 1)
+    h = jnp.swapaxes(c, 1, 2).astype(cfg.compute_dtype)
+    mel_tail = jnp.where(act_col[:, :, None], mel[:, :, -2:], state.mel_tail)
+    conv0_tail = jnp.where(act_col[:, :, None], y[:, :, -2:],
+                           state.conv0_tail)
+
+    n_enc = jnp.where(active, t // 2, 0).astype(jnp.int32)
+    enc_state, enc_out = encoder_incremental(enc_p, cfg, state.encoder, h,
+                                             n_valid=n_enc)
+    frames = jax.vmap(lambda e: adapter_forward(params["adapter"], cfg, e))(
+        enc_out)
+
+    n_dec = jnp.where(active, n, 0).astype(jnp.int32)
+    dec, tokens, aux = decode_scan(
+        params["decoder"], cfg, state.decode, frames, n_dec, t_ada,
+        collect_topk=collect_topk, stop_at_eos=stop_at_eos,
+        forced_tokens=forced_tokens)
+
+    new_state = FleetState(pcm_tail=pcm_tail, mel_tail=mel_tail,
+                           conv0_tail=conv0_tail, encoder=enc_state,
+                           decode=dec)
+    return new_state, tokens, aux
+
+
+@partial(jax.jit, static_argnames=("cfg", "full"), donate_argnums=(1,))
+def fleet_reset_slots(cfg: VoxtralConfig, state: FleetState,
+                      mask: jax.Array, *, full: bool) -> FleetState:
+    """Per-slot reset inside a live fleet (attach / watchdog restart).
+    Decoder-only unless full (which also clears the audio-side state —
+    the reference's two-tier escalation, voxtral.c:797-824)."""
+    from voxtral_tpu.models.decoder import reset_streams
+    from voxtral_tpu.models.encoder import reset_encoder_streams
+    dec = reset_streams(state.decode, mask, cfg.streaming.bos)
+    if not full:
+        return state._replace(decode=dec)
+    m = mask[:, None]
+    return state._replace(
+        decode=dec,
+        encoder=reset_encoder_streams(state.encoder, mask),
+        pcm_tail=jnp.where(m, 0.0, state.pcm_tail),
+        mel_tail=jnp.where(mask[:, None, None], 0.0, state.mel_tail),
+        conv0_tail=jnp.where(mask[:, None, None], 0.0, state.conv0_tail))

@@ -1,0 +1,261 @@
+"""FleetManager: multi-stream production serving runtime.
+
+Hosts B concurrent transcription streams in ONE device-resident FleetState,
+advanced by a single compiled program (fleet_step_masked): device-side mel,
+batched conv/encoder/adapter, lockstep greedy decode. This is the DP
+serving layer the reference lacks (it is single-stream-per-process,
+voxtral.c:1242; SURVEY.md §2.4) — concurrent streams share every weight
+read, which is where the >=50x-per-chip headline comes from.
+
+Per-stream lifecycle on shared batched state:
+- attach(): claims a slot, masked full reset (fleet_reset_slots), then the
+  39-token prompt enters via FORCED-TOKEN REPLAY — decode positions i <
+  prompt_len-1 take frame[i] + embed(pad) with the greedy choice overridden,
+  which computes exactly what decoder_prefill computes, but per-slot inside
+  a live fleet (one program for every stream state).
+- feed()/finish(): host-side sample buffering; a stream joins a step only
+  with a FULL chunk (full-or-nothing masking keeps each stream's
+  tails/cursors exact; see fleet_step_masked).
+- watchdogs: the reference's stream self-healing (voxtral.c:410-420,
+  1189-1239) per slot — restart on EOS, on decode KV > 2000, on >=64
+  consecutive non-text tokens, on 20 s without text; decoder-only restart
+  escalating to full reset after repeated textless restarts.
+
+Caveat (documented in models/decoder.py): the lockstep ring cursor advances
+with the busiest stream, so a slot that idles while siblings run has its
+oldest ring entries recycled early — bounded in practice by the 2000-token
+restart cap, and irrelevant for equal-rate streams.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from voxtral_tpu.config import VoxtralConfig
+from voxtral_tpu.models.decoder import ada_scales, time_conditioning
+from voxtral_tpu.runtime.fleet import (
+    fleet_reset_slots, fleet_step_masked, init_fleet_state, pcm_stream_skew,
+)
+
+MAX_DECODE_KV = 2000              # voxtral.c:412
+MAX_NON_TEXT_STREAK = 64
+MAX_NO_TEXT_SECONDS = 20.0
+EMPTY_RESTARTS_FOR_FULL_RESET = 2
+
+
+@dataclasses.dataclass
+class _Slot:
+    active: bool = False
+    buf: np.ndarray = None                 # pending samples
+    replay_left: int = 0                   # forced prompt tokens remaining
+    queue: list = None                     # [(token_id, piece)]
+    finishing: bool = False
+    finished: bool = False
+    # watchdog counters
+    pos: int = 0                           # decode KV length since restart
+    nontext_streak: int = 0
+    samples_since_text: int = 0
+    text_since_restart: bool = False
+    empty_restarts: int = 0
+    # stats
+    generated: int = 0
+    text_tokens: int = 0
+    restarts: int = 0
+
+
+class FleetManager:
+    def __init__(self, params, cfg: VoxtralConfig, batch: int, *,
+                 tokenizer=None, chunk_tokens: int = 20,
+                 delay_tokens: int | None = None, kv_dtype: str = "float",
+                 enc_ring: int | None = None, dec_ring: int = 2048,
+                 continuous: bool = True):
+        self.params = params
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.batch = batch
+        self.n = chunk_tokens                       # decode tokens per step
+        self.chunk_mel = chunk_tokens * 8
+        self.chunk_samp = self.chunk_mel * cfg.audio.hop_length
+        self.continuous = continuous
+        st = cfg.streaming
+        self.delay = st.delay_tokens if delay_tokens is None else delay_tokens
+        self.prompt_len = 1 + st.n_left_pad_tokens + self.delay
+        self.t_ada = ada_scales(
+            params["decoder"],
+            time_conditioning(self.delay, cfg.decoder.dim))
+        enc_ring = enc_ring or (cfg.encoder.window + self.chunk_mel // 2 + 8)
+        self.state = init_fleet_state(
+            cfg, batch=batch, enc_ring=enc_ring, dec_ring=dec_ring,
+            max_mel_chunk=self.chunk_mel, kv_dtype=kv_dtype)
+        self.slots = [_Slot() for _ in range(batch)]
+        self.left_pad = (st.n_left_pad_tokens * cfg.audio.raw_audio_per_token
+                         - pcm_stream_skew(cfg))
+        self.steps = 0
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def attach(self) -> int:
+        """Claim a free slot; returns the stream id. The stream's padded
+        sample stream starts with the left-pad silence (minus the device
+        skew, see fleet.py:pcm_stream_skew)."""
+        for sid, s in enumerate(self.slots):
+            if not s.active:
+                break
+        else:
+            raise RuntimeError("fleet full")
+        self.slots[sid] = _Slot(
+            active=True, buf=np.zeros(self.left_pad, np.float32), queue=[],
+            replay_left=self.prompt_len - 1)
+        self._reset_device(sid, full=True)
+        return sid
+
+    def detach(self, sid: int):
+        self.slots[sid].active = False
+
+    def feed(self, sid: int, samples: np.ndarray):
+        s = self.slots[sid]
+        assert s.active and not s.finishing
+        s.buf = np.concatenate(
+            [s.buf, np.asarray(samples, np.float32).reshape(-1)])
+        s.samples_since_text += len(samples)
+
+    def finish(self, sid: int):
+        """Append right padding + pad the final partial chunk; the slot
+        drains on subsequent polls and then reports finished."""
+        s = self.slots[sid]
+        if s.finishing:
+            return
+        mult = self.cfg.audio.raw_audio_per_token
+        n_right = self.cfg.streaming.n_right_pad_tokens
+        total = len(s.buf)
+        align = (mult - (total % mult)) % mult
+        pad = align + n_right * mult
+        rem = (len(s.buf) + pad) % self.chunk_samp
+        if rem:
+            pad += self.chunk_samp - rem
+        s.buf = np.concatenate([s.buf, np.zeros(pad, np.float32)])
+        s.finishing = True
+
+    def get(self, sid: int):
+        """Drain (token_id, piece) pairs (text tokens only)."""
+        s = self.slots[sid]
+        out, s.queue = s.queue, []
+        return out
+
+    def is_finished(self, sid: int) -> bool:
+        return self.slots[sid].finished
+
+    # -- stepping -----------------------------------------------------------
+
+    def ready(self) -> bool:
+        return any(s.active and len(s.buf) >= self.chunk_samp
+                   for s in self.slots)
+
+    def poll(self):
+        """Run lockstep steps while any stream has a full chunk buffered."""
+        while self.ready():
+            self._step()
+
+    def _reset_device(self, sid: int, *, full: bool):
+        mask = np.zeros(self.batch, bool)
+        mask[sid] = True
+        self.state = fleet_reset_slots(self.cfg, self.state,
+                                       jnp.asarray(mask), full=full)
+
+    def _restart(self, s: _Slot, sid: int, *, full: bool):
+        s.restarts += 1
+        if not s.text_since_restart:
+            s.empty_restarts += 1
+        full = full or s.empty_restarts >= EMPTY_RESTARTS_FOR_FULL_RESET
+        self._reset_device(sid, full=full)
+        s.replay_left = self.prompt_len - 1
+        s.pos = 0
+        s.nontext_streak = 0
+        s.text_since_restart = False
+        if full:
+            s.empty_restarts = 0
+            s.buf = np.concatenate(
+                [np.zeros(self.left_pad, np.float32), s.buf])
+
+    def _step(self):
+        cfg = self.cfg
+        b, n = self.batch, self.n
+        pcm = np.zeros((b, self.chunk_samp), np.float32)
+        active = np.zeros(b, bool)
+        forced = np.full((b, n), -1, np.int32)
+        part = []
+        for sid, s in enumerate(self.slots):
+            if not s.active or len(s.buf) < self.chunk_samp:
+                continue
+            pcm[sid] = s.buf[:self.chunk_samp]
+            s.buf = s.buf[self.chunk_samp:]
+            active[sid] = True
+            part.append(sid)
+            if s.replay_left > 0:
+                k = min(s.replay_left, n)
+                forced[sid, :k] = cfg.streaming.streaming_pad
+        self.state, tokens, _ = fleet_step_masked(
+            self.params, cfg, self.state, jnp.asarray(pcm),
+            jnp.asarray(active), jnp.asarray(forced), self.t_ada)
+        tokens = np.asarray(tokens)
+        self.steps += 1
+        for sid in part:
+            self._consume(sid, tokens[sid], forced[sid])
+
+    def _consume(self, sid: int, toks: np.ndarray, forced: np.ndarray):
+        cfg = self.cfg
+        s = self.slots[sid]
+        n_special = cfg.streaming.n_special
+        eos = cfg.streaming.eos
+        restart = None
+        replay_used = 0
+        for i, t in enumerate(toks):
+            t = int(t)
+            if forced[i] >= 0:
+                replay_used += 1
+                continue
+            if t < 0:
+                continue
+            s.generated += 1
+            s.pos += 1
+            if t == eos:
+                restart = restart or "eos"
+                s.nontext_streak += 1
+            elif t >= n_special:
+                piece = self.tok.decode([t]) if self.tok else None
+                s.queue.append((t, piece))
+                s.text_tokens += 1
+                s.nontext_streak = 0
+                s.samples_since_text = 0
+                s.text_since_restart = True
+            else:
+                s.nontext_streak += 1
+        s.pos += replay_used
+        s.replay_left -= replay_used
+        if not self.continuous:
+            if s.finishing and len(s.buf) < self.chunk_samp:
+                s.finished = True
+            return
+        if s.pos > MAX_DECODE_KV:
+            restart = restart or "kv"
+        if s.nontext_streak >= MAX_NON_TEXT_STREAK:
+            restart = restart or "streak"
+        no_text_s = s.samples_since_text / cfg.audio.sample_rate
+        if no_text_s > MAX_NO_TEXT_SECONDS:
+            restart = "full"
+        if restart and not s.finishing:
+            self._restart(s, sid, full=(restart == "full"))
+        if s.finishing and len(s.buf) < self.chunk_samp:
+            s.finished = True
+
+    def stats(self) -> dict:
+        return {
+            "steps": self.steps,
+            "streams": sum(s.active for s in self.slots),
+            "generated": sum(s.generated for s in self.slots),
+            "text_tokens": sum(s.text_tokens for s in self.slots),
+            "restarts": sum(s.restarts for s in self.slots),
+        }
