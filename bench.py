@@ -100,7 +100,7 @@ def main():
 
     kv_dtype = os.environ.get("VOX_BENCH_KV", "int8")
     batch = int(os.environ.get("VOX_BENCH_STREAMS",
-                               ("24" if kv_dtype == "int8" else "12")
+                               ("32" if kv_dtype == "int8" else "12")
                                if q8 else "8"))
     chunk_mel = int(os.environ.get("VOX_BENCH_CHUNK_MEL", "160"))
 
