@@ -36,7 +36,7 @@ def _serve(mgr, feeds):
         if all(mgr.is_finished(sid) for sid in feeds):
             break
         mgr.poll()
-    return {sid: [t for t, _ in mgr.get(sid)] for sid in feeds}
+    return {sid: [e[0] for e in mgr.get(sid)] for sid in feeds}
 
 
 def _solo_tokens(params, cfg, audio):
@@ -99,3 +99,24 @@ def test_fleet_full_raises(tiny_cfg, tiny_params):
     mgr.attach()
     with pytest.raises(RuntimeError):
         mgr.attach()
+
+
+def test_alt_tokens_surface(tiny_cfg, tiny_params):
+    mgr = FleetManager(tiny_params, tiny_cfg, batch=1, chunk_tokens=8,
+                       dec_ring=256, n_alt=4, alt_cutoff=1.0)
+    sid = mgr.attach()
+    got = _serve(mgr, {sid: _audio(6, seconds=2.0)})
+    # with cutoff=1.0 every text token carries an alt list (possibly empty)
+    for entry in got[sid]:
+        pass  # get() strips to ids in _serve; direct queue check below
+    mgr2 = FleetManager(tiny_params, tiny_cfg, batch=1, chunk_tokens=8,
+                        dec_ring=256, n_alt=4, alt_cutoff=1.0)
+    s2 = mgr2.attach()
+    a = _audio(6, seconds=2.0)
+    for i in range(0, len(a), 16000):
+        mgr2.feed(s2, a[i:i + 16000])
+    mgr2.poll()
+    for entry in mgr2.get(s2):
+        assert len(entry) == 3          # (id, piece, alts)
+        tid, piece, alts = entry
+        assert isinstance(alts, list)

@@ -142,7 +142,11 @@ def init_decode_state(cfg: VoxtralConfig, batch: int = 1, dtype=None,
     dt = dtype or cfg.compute_dtype
     ring = ring_size or (d.window + pending_size)
     assert pending_size <= ring
+    # 32-row-aligned physical slot axis (int8 tile height; see encoder.py)
     phys = ring + pending_size
+    if phys % 32:
+        ring += 32 - phys % 32
+        phys = ring + pending_size
     int8 = kv_dtype == "int8"
     ring_dt = jnp.int8 if int8 else dt
     return DecodeState(

@@ -71,10 +71,15 @@ class FleetManager:
                  tokenizer=None, chunk_tokens: int = 20,
                  delay_tokens: int | None = None, kv_dtype: str = "float",
                  enc_ring: int | None = None, dec_ring: int = 2048,
-                 continuous: bool = True):
+                 continuous: bool = True, n_alt: int = 1,
+                 alt_cutoff: float = 0.0):
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer
+        # alt-tokens (vox_stream_set_alt, voxtral.c:1329-1353): up to n_alt-1
+        # alternatives within probability cutoff of the best token
+        self.n_alt = max(1, min(4, n_alt))
+        self.alt_cutoff = alt_cutoff
         self.batch = batch
         self.n = chunk_tokens                       # decode tokens per step
         self.chunk_mel = chunk_tokens * 8
@@ -197,15 +202,44 @@ class FleetManager:
             if s.replay_left > 0:
                 k = min(s.replay_left, n)
                 forced[sid, :k] = cfg.streaming.streaming_pad
-        self.state, tokens, _ = fleet_step_masked(
+        topk = self.n_alt if self.n_alt > 1 else 0
+        self.state, tokens, aux = fleet_step_masked(
             self.params, cfg, self.state, jnp.asarray(pcm),
-            jnp.asarray(active), jnp.asarray(forced), self.t_ada)
+            jnp.asarray(active), jnp.asarray(forced), self.t_ada,
+            collect_topk=topk)
         tokens = np.asarray(tokens)
+        alts = None
+        if topk:
+            alts = (np.asarray(aux["topk_vals"]),
+                    np.asarray(aux["topk_idx"]),
+                    np.asarray(aux["logsumexp"]))
         self.steps += 1
         for sid in part:
-            self._consume(sid, tokens[sid], forced[sid])
+            self._consume(sid, tokens[sid], forced[sid],
+                          None if alts is None else
+                          (alts[0][sid], alts[1][sid], alts[2][sid]))
 
-    def _consume(self, sid: int, toks: np.ndarray, forced: np.ndarray):
+    def _alts(self, best: int, vals, idxs, lse):
+        """Alternatives within 1 - p_i/p_best <= cutoff (voxtral.c:955-1010),
+        computed from the step's top-k logits + logsumexp."""
+        import math
+        p = np.exp(vals.astype(np.float64) - float(lse))
+        p0 = None
+        out = []
+        for v, tid in zip(p, idxs):
+            tid = int(tid)
+            if tid == best:
+                p0 = v
+                continue
+            if p0 is None:
+                continue
+            if tid >= self.cfg.streaming.n_special and                     (1.0 - v / max(p0, 1e-30)) <= self.alt_cutoff:
+                piece = self.tok.decode([tid]) if self.tok else None
+                out.append((tid, piece))
+        return out
+
+    def _consume(self, sid: int, toks: np.ndarray, forced: np.ndarray,
+                 alt_info=None):
         cfg = self.cfg
         s = self.slots[sid]
         n_special = cfg.streaming.n_special
@@ -226,7 +260,11 @@ class FleetManager:
                 s.nontext_streak += 1
             elif t >= n_special:
                 piece = self.tok.decode([t]) if self.tok else None
-                s.queue.append((t, piece))
+                if alt_info is not None:
+                    s.queue.append((t, piece, self._alts(
+                        t, alt_info[0][i], alt_info[1][i], alt_info[2][i])))
+                else:
+                    s.queue.append((t, piece))
                 s.text_tokens += 1
                 s.nontext_streak = 0
                 s.samples_since_text = 0
