@@ -114,3 +114,22 @@ def test_fleet_matches_streaming_engine(small_cfg, small_params):
     # fleet covers floor(F/64) chunks; stream covers all mel -> prefix match
     assert len(fleet_ids) > 10
     assert fleet_ids == stream_ids[:len(fleet_ids)]
+
+
+def test_int8_fleet_state_shards(small_cfg):
+    """Int8 KV state tree places correctly on the mesh (rings head-sharded,
+    scale tables [B, Hkv, P] sharded the same way). Compute with Pallas
+    kernels under GSPMD needs shard_map (future work); this validates state
+    placement + the pspec tree structure."""
+    from voxtral_tpu.parallel.sharding import (
+        fleet_state_pspecs, make_mesh, shard_tree,
+    )
+    from voxtral_tpu.runtime.fleet import init_fleet_state
+
+    mesh = make_mesh(2, 4)
+    state = init_fleet_state(small_cfg, batch=4, enc_ring=128, dec_ring=128,
+                             kv_dtype="int8")
+    sharded = shard_tree(state, fleet_state_pspecs(small_cfg, "int8"), mesh)
+    ks = sharded.decode.k_scale[0]
+    assert ks.sharding.spec == ("data", "model", None)
+    assert sharded.decode.k_ring[0].dtype == jnp.int8

@@ -210,6 +210,8 @@ def main(argv=None):
     ap.add_argument("--parity", action="store_true")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--random-init", type=int, default=None, metavar="SEED")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of the run to DIR")
     args = ap.parse_args(argv)
 
     args.verbosity = 2 if args.debug else (0 if args.silent else 1)
@@ -220,12 +222,21 @@ def main(argv=None):
         ap.error("need -d MODEL_DIR or --random-init SEED")
 
     params, cfg, tokenizer = build(args)
-    if args.from_mic:
-        run_mic(args, params, cfg, tokenizer)
-    elif args.stdin:
-        run_stdin(args, params, cfg, tokenizer)
-    else:
-        run_file(args, params, cfg, tokenizer)
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(args.profile)
+    try:
+        if args.from_mic:
+            run_mic(args, params, cfg, tokenizer)
+        elif args.stdin:
+            run_stdin(args, params, cfg, tokenizer)
+        else:
+            run_file(args, params, cfg, tokenizer)
+    finally:
+        if args.profile:
+            import jax
+            jax.profiler.stop_trace()
+            log(args, 1, f"profiler trace written to {args.profile}")
 
 
 if __name__ == "__main__":

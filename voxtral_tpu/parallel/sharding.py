@@ -73,15 +73,19 @@ def param_pspecs(cfg: VoxtralConfig) -> dict:
     }
 
 
-def fleet_state_pspecs(cfg: VoxtralConfig) -> "FleetStatePspecs":
+def fleet_state_pspecs(cfg: VoxtralConfig,
+                       kv_dtype: str = "float") -> "FleetStatePspecs":
     """PartitionSpecs for FleetState (see runtime/fleet.py): stream batch on
-    'data', KV heads on 'model'."""
+    'data', KV heads on 'model'. kv_dtype="int8" adds the per-(slot, head)
+    scale tables ([B, Hkv, P]: data-sharded streams, head-sharded scales)."""
     from voxtral_tpu.runtime.fleet import FleetState
     from voxtral_tpu.models.decoder import DecodeState
     from voxtral_tpu.models.encoder import EncoderState
     # per-layer ring tuples; merged head axis is head-sharded
     ring = P(DATA, None, MODEL)
+    scale = P(DATA, MODEL, None)
     enc_l, dec_l = cfg.encoder.layers, cfg.decoder.layers
+    int8 = kv_dtype == "int8"
     return FleetState(
         pcm_tail=P(DATA),
         mel_tail=P(DATA),
@@ -89,7 +93,8 @@ def fleet_state_pspecs(cfg: VoxtralConfig) -> "FleetStatePspecs":
         encoder=EncoderState(
             k_ring=(ring,) * enc_l,
             v_ring=(ring,) * enc_l,
-            k_scale=None, v_scale=None,
+            k_scale=(scale,) * enc_l if int8 else None,
+            v_scale=(scale,) * enc_l if int8 else None,
             slot_pos=P(DATA),
             pending_k=(ring,) * enc_l,
             pending_v=(ring,) * enc_l,
@@ -98,7 +103,8 @@ def fleet_state_pspecs(cfg: VoxtralConfig) -> "FleetStatePspecs":
         decode=DecodeState(
             k_ring=(ring,) * dec_l,
             v_ring=(ring,) * dec_l,
-            k_scale=None, v_scale=None,
+            k_scale=(scale,) * dec_l if int8 else None,
+            v_scale=(scale,) * dec_l if int8 else None,
             slot_pos=P(DATA),
             pending_k=(ring,) * dec_l,
             pending_v=(ring,) * dec_l,
