@@ -99,3 +99,34 @@ def test_split_decode_equals_single_scan(tiny_cfg, tiny_params):
         toks.append(np.asarray(t[0]))
         pos += size
     np.testing.assert_array_equal(np.concatenate(toks), g["tokens"])
+
+
+def test_long_decode_ring_size_invariance(tiny_cfg, tiny_params):
+    """Long-form semantics: a minimal ring that wraps many times must decode
+    the exact same tokens as a ring large enough to never wrap — the
+    fixed-shape analogue of the reference's memmove compaction staying
+    lossless for audio of unbounded length (voxtral_decoder.c:354-384)."""
+    rng = np.random.RandomState(7)
+    d = tiny_cfg.decoder
+    n = 120                               # >> window (32), wraps small ring 2x+
+    frames = jnp.asarray(rng.randn(1, n, d.dim).astype(np.float32) * 0.1)
+    prefix = jnp.asarray(rng.randn(1, 4, d.dim).astype(np.float32) * 0.1)
+    t_ada = ada_scales(tiny_params["decoder"],
+                       time_conditioning(6, tiny_cfg.decoder.dim))
+
+    def run(ring_size):
+        state = init_decode_state(tiny_cfg, batch=1, ring_size=ring_size,
+                                  pending_size=8)
+        state = decoder_prefill(tiny_params["decoder"], tiny_cfg, state,
+                                prefix, t_ada)
+        toks = []
+        for c0 in range(0, n, 8):
+            state, t, _ = decode_scan(
+                tiny_params["decoder"], tiny_cfg, state, frames[:, c0:c0 + 8],
+                jnp.asarray([8], jnp.int32), t_ada, stop_at_eos=False)
+            toks.append(np.asarray(t[0]))
+        return np.concatenate(toks)
+
+    small = run(d.window + 8)             # wraps repeatedly
+    big = run(512)                        # never wraps
+    np.testing.assert_array_equal(small, big)

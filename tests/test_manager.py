@@ -36,7 +36,10 @@ def _serve(mgr, feeds):
         if all(mgr.is_finished(sid) for sid in feeds):
             break
         mgr.poll()
-    return {sid: [e[0] for e in mgr.get(sid)] for sid in feeds}
+    # compare the FULL greedy stream (text + control): tiny random weights
+    # may emit only control tokens, which would make a text-queue-only
+    # comparison vacuous
+    return {sid: list(mgr.slots[sid].all_ids) for sid in feeds}
 
 
 def _solo_tokens(params, cfg, audio):

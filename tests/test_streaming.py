@@ -31,29 +31,34 @@ def audio():
 
 @pytest.fixture(scope="module")
 def batch_tokens(tiny_cfg, tiny_params, audio):
+    """FULL greedy stream from the batch pipeline (text + control): random
+    tiny weights can greedy-decode only control tokens, so comparing the
+    text-token queues alone would be vacuous."""
     toks, _ = transcribe_tokens_batch(tiny_params, tiny_cfg, audio)
-    return [t for t in toks if t >= tiny_cfg.streaming.n_special]
+    toks = [int(t) for t in toks]
+    assert len(toks) > 10          # comparison below must not be trivial
+    return toks
 
 
 def test_streaming_equals_batch_1s_chunks(tiny_cfg, tiny_params, audio,
                                           batch_tokens):
-    ids, s = _stream_tokens(tiny_params, tiny_cfg, audio, [16000])
-    assert ids == batch_tokens
+    _, s = _stream_tokens(tiny_params, tiny_cfg, audio, [16000])
+    assert s.generated_ids == batch_tokens
 
 
 def test_streaming_equals_batch_ragged_chunks(tiny_cfg, tiny_params, audio,
                                               batch_tokens):
-    ids, _ = _stream_tokens(tiny_params, tiny_cfg, audio,
-                            [160, 1280, 7, 4096, 999, 16000])
-    assert ids == batch_tokens
+    _, s = _stream_tokens(tiny_params, tiny_cfg, audio,
+                          [160, 1280, 7, 4096, 999, 16000])
+    assert s.generated_ids == batch_tokens
 
 
 def test_streaming_equals_batch_small_interval(tiny_cfg, tiny_params, audio,
                                                batch_tokens):
     """-I 0.1 — hundreds of small encoder calls, exercises ring compaction."""
-    ids, s = _stream_tokens(tiny_params, tiny_cfg, audio, [1600],
-                            interval=0.1)
-    assert ids == batch_tokens
+    _, s = _stream_tokens(tiny_params, tiny_cfg, audio, [1600],
+                          interval=0.1)
+    assert s.generated_ids == batch_tokens
 
 
 def test_flush_midstream_keeps_stream_open(tiny_cfg, tiny_params, audio):
@@ -76,3 +81,25 @@ def test_stats_populated(tiny_cfg, tiny_params, audio):
     st = s.stats()
     assert st["audio_s"] == pytest.approx(3.0)
     assert st["generated"] > 0 and st["decoder_ms"] >= 0
+
+
+def test_set_delay_matches_fresh_stream(tiny_cfg, tiny_params, audio):
+    """set_delay (vox_set_delay, voxtral.c:1681-87) before any audio must be
+    equivalent to constructing the stream with that delay: same prompt
+    length and same tokens."""
+    a = VoxStream(tiny_params, tiny_cfg, stream_cfg=StreamConfig(
+        interval=1.0, delay_tokens=12))
+    b = VoxStream(tiny_params, tiny_cfg, stream_cfg=StreamConfig(interval=1.0))
+    b.set_delay(12 * 80)
+    assert list(a.prompt_ids) == list(b.prompt_ids)
+    np.testing.assert_allclose(np.asarray(a.t_ada), np.asarray(b.t_ada))
+    for s in (a, b):
+        s.feed(audio)
+        s.finish()
+    assert a.get_ids() == b.get_ids()
+    # clamping contract: 80..2400 ms
+    b2 = VoxStream(tiny_params, tiny_cfg, stream_cfg=StreamConfig())
+    b2.set_delay(5000)
+    assert b2.sc.delay_tokens == 30
+    b2.set_delay(0)
+    assert b2.sc.delay_tokens == 1

@@ -212,7 +212,14 @@ def main(argv=None):
     ap.add_argument("--random-init", type=int, default=None, metavar="SEED")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the run to DIR")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the TPU site plugin "
+                         "overrides JAX_PLATFORMS, so an env var is not "
+                         "enough)")
     args = ap.parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     args.verbosity = 2 if args.debug else (0 if args.silent else 1)
     args.delay = max(80, min(2400, args.delay))

@@ -64,6 +64,10 @@ class _Slot:
     generated: int = 0
     text_tokens: int = 0
     restarts: int = 0
+    # full greedy stream (text + control + eos, replay excluded) — the
+    # queue carries only TEXT tokens (reference semantics); tests compare
+    # this to a solo run so control-only output is still checked
+    all_ids: list = None
 
 
 class FleetManager:
@@ -113,7 +117,7 @@ class FleetManager:
             raise RuntimeError("fleet full")
         self.slots[sid] = _Slot(
             active=True, buf=np.zeros(self.left_pad, np.float32), queue=[],
-            replay_left=self.prompt_len - 1)
+            replay_left=self.prompt_len - 1, all_ids=[])
         self._reset_device(sid, full=True)
         return sid
 
@@ -254,6 +258,7 @@ class FleetManager:
             if t < 0:
                 continue
             s.generated += 1
+            s.all_ids.append(t)
             s.pos += 1
             if t == eos:
                 restart = restart or "eos"

@@ -138,6 +138,9 @@ class VoxStream:
         self.queue: list = []
         # stats
         self.n_generated = 0
+        # full greedy stream (text + control + eos), for tests/inspection —
+        # the queue itself carries only TEXT tokens (reference semantics)
+        self.generated_ids: list[int] = []
         self.n_text_tokens = 0
         self.encoder_s = 0.0
         self.decoder_s = 0.0
@@ -201,6 +204,22 @@ class VoxStream:
 
     def set_interval(self, seconds: float):
         self.min_new_mel = max(int(seconds * 100.0), 1)
+
+    def set_delay(self, delay_ms: int):
+        """Change the transcription delay (vox_set_delay, voxtral.c:1681-87):
+        clamp to 80..2400 ms at 80 ms granularity, recompute the per-layer
+        ada scales, and (like the reference) apply to FUTURE prompt builds —
+        an already-prefilled stream keeps decoding with the new conditioning
+        but its prompt length is fixed."""
+        delay_ms = max(80, min(2400, int(delay_ms)))
+        self.sc.delay_tokens = delay_ms // 80
+        st = self.cfg.streaming
+        self.prompt_ids = np.asarray(
+            [st.bos] + [st.streaming_pad] * (st.n_left_pad_tokens
+                                             + self.sc.delay_tokens), np.int32)
+        self.t_ada = ada_scales(
+            self.params["decoder"],
+            time_conditioning(self.sc.delay_tokens, self.cfg.decoder.dim))
 
     def feed(self, samples: np.ndarray):
         if self.finished:
@@ -427,6 +446,7 @@ class VoxStream:
                         break
                     t = int(t)
                     self.n_generated += 1
+                    self.generated_ids.append(t)
                     self.kv_len += 1
                     if t == cfg.streaming.eos:
                         self.eos_seen = True
