@@ -32,6 +32,9 @@ from voxtral_tpu.runtime.fleet import (
 from voxtral_tpu.weights import random_params_device
 
 BASELINE_AUDIO_S_PER_S = 2.5   # reference headline (README.md:328)
+# encoder ring: the 320-mel bootstrap chunk (39-token prompt) needs
+# window 750 + 160 encoder positions = 910 minimum
+ENC_RING = int(os.environ.get("VOX_BENCH_ENC_RING", "912"))
 
 
 def log(msg):
@@ -105,16 +108,16 @@ def main():
     chunk_mel = int(os.environ.get("VOX_BENCH_CHUNK_MEL", "160"))
 
     log(f"fleet: {batch} streams x {chunk_mel/100:.1f}s chunks "
-        f"(dec ring 2048, enc ring 912, {'Q8' if q8 else 'bf16'} weights, "
+        f"(dec ring 2048, enc ring {ENC_RING}, {'Q8' if q8 else 'bf16'} weights, "
         f"{kv_dtype} KV rings)")
     fleet = bench_fleet(params, cfg, t_ada, batch, chunk_mel,
-                        enc_ring=912, dec_ring=2048, kv_dtype=kv_dtype)
+                        enc_ring=ENC_RING, dec_ring=2048, kv_dtype=kv_dtype)
     log(f"  {fleet['audio_s_per_s']:.1f} audio-s/s | step {fleet['step_ms']:.1f} ms "
         f"| {fleet['ms_per_token']:.2f} ms/token (batched)")
 
     log("single stream (B=1):")
     single = bench_fleet(params, cfg, t_ada, 1, chunk_mel,
-                         enc_ring=912, dec_ring=2048, warmup=2, iters=6,
+                         enc_ring=ENC_RING, dec_ring=2048, warmup=2, iters=6,
                          kv_dtype=kv_dtype)
     log(f"  {single['audio_s_per_s']:.1f} audio-s/s | "
         f"{single['ms_per_token']:.2f} ms/token")

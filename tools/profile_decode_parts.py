@@ -65,22 +65,28 @@ xk = mk((B, 20, d.kv_dim))
 xv = mk((B, 20, d.kv_dim))
 xp = jnp.asarray(np.tile(P + np.arange(20, dtype=np.int32), (B, 1)))
 
-attn = jax.jit(lambda *a: ring_gqa_attention(
-    *a, window=d.window, heads=d.heads, kv_heads=d.kv_heads,
-    head_dim=d.head_dim))
+attn = jax.jit(lambda q, kr, vr, sp, qp, ks, vs, xk, xv, xp:
+               ring_gqa_attention(
+                   q, kr, vr, sp, qp, window=d.window, heads=d.heads,
+                   kv_heads=d.kv_heads, head_dim=d.head_dim,
+                   k_scale=ks, v_scale=vs,
+                   extra_k=xk, extra_v=xv, extra_pos=xp))
 attn_bytes = B * P * d.kv_dim * 2 + B * d.kv_heads * P * 4 * 2
 t_attn = timeit("ring attention (int8+scales+x20)", attn, q, kr, vr, sp, qp,
                 ks, vs, xk, xv, xp, bytes_read=attn_bytes)
 
-attn_noex = jax.jit(lambda *a: ring_gqa_attention(
-    *a, window=d.window, heads=d.heads, kv_heads=d.kv_heads,
-    head_dim=d.head_dim))
-t_attn2 = timeit("ring attention (no extra_kv)", attn_noex, q, kr, vr, sp,
+attn_sc = jax.jit(lambda q, kr, vr, sp, qp, ks, vs: ring_gqa_attention(
+    q, kr, vr, sp, qp, window=d.window, heads=d.heads, kv_heads=d.kv_heads,
+    head_dim=d.head_dim, k_scale=ks, v_scale=vs))
+t_attn2 = timeit("ring attention (no extra_kv)", attn_sc, q, kr, vr, sp,
                  qp, ks, vs, bytes_read=attn_bytes)
 
+attn_bf = jax.jit(lambda q, kr, vr, sp, qp: ring_gqa_attention(
+    q, kr, vr, sp, qp, window=d.window, heads=d.heads, kv_heads=d.kv_heads,
+    head_dim=d.head_dim))
 kr_bf = mk((B, P, d.kv_dim))
 vr_bf = mk((B, P, d.kv_dim))
-t_attn3 = timeit("ring attention (bf16 ring)", attn_noex, q, kr_bf, vr_bf,
+t_attn3 = timeit("ring attention (bf16 ring)", attn_bf, q, kr_bf, vr_bf,
                  sp, qp, bytes_read=2 * B * P * d.kv_dim * 2)
 
 # ---- per-layer matmul set (Q8): split vs merged ----------------------------

@@ -176,10 +176,16 @@ def ring_gqa_attention(q, k_ring, v_ring, slot_pos, q_pos, *,
     group = heads // kv_heads
     assert 128 % head_dim == 0, head_dim
     kv_dim = kv_heads * head_dim
-    # Lane width of one KV block: 256 measured fastest (fewer cells, same
-    # DMA); fall back to 128, or the whole (sub-128) head axis — a lane
-    # block equal to the full array dim is always lowerable.
-    for blk in (256, 128):
+    # Lane width of one KV block. Swept on v5e (tools/profile_attn_blk.py,
+    # B=16, int8 rings + scales): decoder shape (kv_dim 1024, ring 2088)
+    # fastest at 512 (141 us/layer vs 146 @256); encoder shape (kv_dim 2048,
+    # ring 1104, S=80) fastest at 1024 (325 us/layer vs 365 @256); 2048
+    # fails to compile. Fall back to halves, or the whole (sub-128) head
+    # axis — a lane block equal to the full array dim is always lowerable.
+    import os
+    _env_blk = int(os.environ.get("VOX_ATTN_BLK", "0"))
+    for blk in ((_env_blk,) if _env_blk else (1024 if kv_dim >= 2048 else 512,
+                                              512, 256, 128)):
         if kv_dim % blk == 0:
             break
     else:
