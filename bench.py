@@ -79,6 +79,39 @@ def bench_fleet(params, cfg, t_ada, batch, chunk_mel, enc_ring, dec_ring,
     }
 
 
+def bench_latency(params, cfg, t_ada, enc_ring, dec_ring, chunk_mel=48,
+                  warmup=3, iters=40, kv_dtype="int8"):
+    """Low-latency streaming config (BASELINE.json headline, -I 0.5): one
+    stream, ~0.5 s chunks, each feed individually synced — the time from a
+    chunk's audio arriving to its tokens landing on the host IS the
+    streaming token latency (all of a chunk's tokens emerge at step end).
+    Returns p50/p95 over `iters` feeds."""
+    state = init_fleet_state(cfg, batch=1, enc_ring=enc_ring,
+                             dec_ring=dec_ring, max_mel_chunk=320,
+                             kv_dtype=kv_dtype)
+    rng = np.random.RandomState(1)
+    hop = cfg.audio.hop_length
+    pcm0 = jnp.asarray((rng.rand(1, 320 * hop) - 0.5).astype(np.float32))
+    pcm = jnp.asarray((rng.rand(1, chunk_mel * hop) - 0.5).astype(np.float32))
+    state, tokens, _ = fleet_bootstrap_pcm(params, cfg, state, pcm0, t_ada)
+    np.asarray(tokens)
+    for _ in range(warmup):
+        state, tokens, _ = fleet_step_pcm(params, cfg, state, pcm, t_ada)
+        np.asarray(tokens)
+    samples = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        state, tokens, _ = fleet_step_pcm(params, cfg, state, pcm, t_ada)
+        np.asarray(tokens)
+        samples.append((time.perf_counter() - t0) * 1e3)
+    samples.sort()
+    return {
+        "p50_ms": samples[len(samples) // 2],
+        "p95_ms": samples[int(len(samples) * 0.95)],
+        "chunk_s": chunk_mel / 100.0,
+    }
+
+
 def main():
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
@@ -122,6 +155,12 @@ def main():
     log(f"  {single['audio_s_per_s']:.1f} audio-s/s | "
         f"{single['ms_per_token']:.2f} ms/token")
 
+    log("streaming latency (B=1, -I 0.5 equivalent, 0.48s chunks):")
+    lat = bench_latency(params, cfg, t_ada, enc_ring=ENC_RING, dec_ring=2048,
+                        kv_dtype=kv_dtype)
+    log(f"  p50 {lat['p50_ms']:.1f} ms | p95 {lat['p95_ms']:.1f} ms "
+        f"per {lat['chunk_s']:.2f}s feed")
+
     value = fleet["audio_s_per_s"]
     print(json.dumps({
         "metric": f"audio_seconds_per_second_per_chip_{batch}streams"
@@ -134,6 +173,8 @@ def main():
             "single_stream_audio_s_per_s": round(single["audio_s_per_s"], 2),
             "batched_ms_per_token": round(fleet["ms_per_token"], 3),
             "single_ms_per_token": round(single["ms_per_token"], 3),
+            "stream_latency_p50_ms": round(lat["p50_ms"], 1),
+            "stream_latency_p95_ms": round(lat["p95_ms"], 1),
             "streams": batch,
         },
     }))
