@@ -165,3 +165,61 @@ def test_kernel_int8_ring_matches_dequant_oracle(case):
                   hkv, hd, extra=(xk, xv, xp))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def _mk_prefix_ring(rng, b, p, hkv, hd, n_valid):
+    """Ring filled as a prefix [0, n_valid) — the lockstep-cursor regime the
+    prefix-bucket optimization relies on (slots >= n_valid never written)."""
+    k = jnp.asarray(rng.randn(b, p, hkv * hd).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.randn(b, p, hkv * hd).astype(np.float32) * 0.3)
+    sp = np.where(np.arange(p) < n_valid, np.arange(p), SLOT_INVALID)
+    return k, v, jnp.asarray(np.broadcast_to(sp, (b, p)), jnp.int32)
+
+
+@pytest.mark.parametrize("case", ["decode_gqa", "encoder_mha"])
+@pytest.mark.parametrize("p_limit", [32, 64, 96, 1024])
+def test_kernel_p_limit_matches_full_read(case, p_limit):
+    """Static p_limit >= valid prefix must not change the output (slots past
+    the limit are invalid and contribute nothing to the full read either)."""
+    rng = np.random.RandomState(11)
+    if case == "decode_gqa":
+        b, s, h, hkv, hd, p, window = 2, 1, 8, 2, 128, 96, 200
+    else:
+        b, s, h, hkv, hd, p, window = 2, 8, 4, 4, 64, 96, 200
+    nv = 30
+    k, v, sp = _mk_prefix_ring(rng, b, p, hkv, hd, nv)
+    q = jnp.asarray(rng.randn(b, s, h * hd).astype(np.float32) * 0.3)
+    q_pos = jnp.asarray(
+        np.stack([np.arange(s) + nv for _ in range(b)]), jnp.int32)
+    full = ring_gqa_attention(q, k, v, sp, q_pos, window=window, heads=h,
+                              kv_heads=hkv, head_dim=hd, interpret=True)
+    lim = ring_gqa_attention(q, k, v, sp, q_pos, window=window, heads=h,
+                             kv_heads=hkv, head_dim=hd, p_limit=p_limit,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(lim), np.asarray(full),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_dispatcher_n_valid_slots_traced():
+    """ring_attention with a TRACED n_valid_slots (lax.switch over prefix
+    buckets) must match the oracle, at several fill levels incl. full."""
+    from voxtral_tpu.ops.pallas_attention import ring_attention, slot_buckets
+    rng = np.random.RandomState(3)
+    b, s, h, hkv, hd, p, window = 2, 1, 8, 2, 128, 512, 600
+    assert len(slot_buckets(p)) > 1
+    for nv in (5, 200, 512):
+        k, v, sp = _mk_prefix_ring(rng, b, p, hkv, hd, nv)
+        q = jnp.asarray(rng.randn(b, s, h * hd).astype(np.float32) * 0.3)
+        q_pos = jnp.full((b, s), nv, jnp.int32)
+
+        @jax.jit
+        def go(q, k, v, sp, q_pos, nv_t):
+            return ring_attention(q, k, v, sp, q_pos, window=window,
+                                  heads=h, kv_heads=hkv, head_dim=hd,
+                                  n_valid_slots=nv_t, force_pallas=True)
+
+        out = go(q, k, v, sp, q_pos, jnp.int32(nv))
+        ref = _oracle(q, k, v, sp, q_pos, window, hkv, hd)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"nv={nv}")

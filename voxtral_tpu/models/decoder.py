@@ -359,6 +359,12 @@ def decode_scan(dec_params: dict, cfg: VoxtralConfig, state: DecodeState,
     # read, then treat the rings as loop-invariant.
     k_rings, v_rings, k_ss, v_ss, ring_sp, base = _fold_pending(
         state, d.kv_heads, d.head_dim)
+    # Slots touched so far form a prefix: pre-wrap the latest fold ends at
+    # write_ctr % ring + Np == write_ctr + Np; post-wrap everything. The
+    # attention kernel skips the untouched tail's DMA entirely (scan-
+    # invariant: rings are loop-invariant inside the scan).
+    phys = state.slot_pos.shape[1]
+    nv_slots = jnp.minimum(state.write_ctr + np_, phys)
 
     def scan_body(carry, xs):
         """Fully batched token step: every op carries the stream axis B, so
@@ -400,7 +406,8 @@ def decode_scan(dec_params: dict, cfg: VoxtralConfig, state: DecodeState,
                 kv_heads=d.kv_heads, head_dim=d.head_dim,
                 k_scale=None if k_ss is None else k_ss[l],
                 v_scale=None if v_ss is None else v_ss[l],
-                extra_kv=(ck, cv, chunk_pos))                     # [B, 1, Qd]
+                extra_kv=(ck, cv, chunk_pos),
+                n_valid_slots=nv_slots)                           # [B, 1, Qd]
             h = h + linear(attn, lp["wo"])
             x = rms_norm(h, lp["ffn_norm"], d.norm_eps)
             x = x * (1.0 + t_ada[l].astype(x.dtype))[None, None, :]

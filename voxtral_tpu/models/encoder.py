@@ -211,6 +211,9 @@ def encoder_incremental(enc_params: dict, cfg: VoxtralConfig,
     rsp = jax.lax.dynamic_update_slice(
         state.slot_pos, state.pending_sp, (0, slot0))
     base = state.write_ctr + state.pending_adv
+    # Valid ring slots form a prefix (see models/decoder.py): the attention
+    # kernel skips the untouched tail's DMA via a static prefix bucket.
+    nv_slots = jnp.minimum(state.write_ctr + sp_cap, phys)
 
     h = h_chunk
     chunk_ks, chunk_vs = [], []
@@ -229,7 +232,8 @@ def encoder_incremental(enc_params: dict, cfg: VoxtralConfig,
             head_dim=e.head_dim,
             k_scale=None if kss is None else kss[l],
             v_scale=None if vss is None else vss[l],
-            extra_kv=(kd, vd, chunk_pos))
+            extra_kv=(kd, vd, chunk_pos),
+            n_valid_slots=nv_slots)
         h = h + linear(attn.reshape(b, s, e.attn_dim), lp["wo"], lp["wo_b"])
         x = rms_norm(h, lp["ffn_norm"], e.norm_eps)
         ffn = linear(jax.nn.silu(linear(x, lp["w1"])) * linear(x, lp["w3"]),

@@ -156,11 +156,13 @@ def _kernel(refs, *, window, group, hd, has_extra, has_scales):
 
 
 @functools.partial(jax.jit, static_argnames=("window", "heads", "kv_heads",
-                                             "head_dim", "interpret"))
+                                             "head_dim", "p_limit",
+                                             "interpret"))
 def ring_gqa_attention(q, k_ring, v_ring, slot_pos, q_pos, *,
                        window: int, heads: int, kv_heads: int, head_dim: int,
                        k_scale=None, v_scale=None,
                        extra_k=None, extra_v=None, extra_pos=None,
+                       p_limit: int | None = None,
                        interpret: bool = False):
     """Batched fused ring attention.
 
@@ -169,9 +171,19 @@ def ring_gqa_attention(q, k_ring, v_ring, slot_pos, q_pos, *,
     slot_pos: [B, P] int32 (logical position per slot, negative = invalid);
     q_pos: [B, S] int32; extra_k/v: [B, Sx, kv_heads*head_dim] float with
     extra_pos [B, Sx]. Returns [B, S, heads*head_dim] in q.dtype.
+
+    p_limit (static): only slots [0, p_limit) are read — the K/V/scale/pos
+    BlockSpecs shrink on the slot axis, so slots beyond the limit are never
+    DMA'd from HBM. Caller must guarantee every slot >= p_limit is invalid
+    (slot_pos < 0). The rings fill as a prefix (the lockstep cursor wraps
+    only after phys slots), so early-stream attention cost scales with the
+    ACTUAL context length, not the ring capacity — the TPU analogue of the
+    reference's grow-as-you-go cache (voxtral_decoder.c:251-348) without its
+    dynamic shapes.
     """
     b, s, qd = q.shape
-    p = k_ring.shape[1]
+    p_full = k_ring.shape[1]
+    p = p_full if p_limit is None else min(p_limit, p_full)
     assert qd == heads * head_dim
     group = heads // kv_heads
     assert 128 % head_dim == 0, head_dim
@@ -209,15 +221,15 @@ def ring_gqa_attention(q, k_ring, v_ring, slot_pos, q_pos, *,
                      memory_space=pltpu.VMEM),
     ]
     sub = blk // head_dim
-    args = [q, k_ring, v_ring, slot_pos.reshape(b, 1, p),
+    args = [q, k_ring, v_ring, slot_pos.reshape(b, 1, p_full),
             jnp.asarray(q_pos, jnp.int32).reshape(b, 1, s)]
     if has_scales:
         # [B, Hkv, P] -> [B, n_blocks, sub, P]: each cell reads only its
         # own sub-heads' scale rows
         in_specs += [pl.BlockSpec((1, 1, sub, p), lambda i, n: (i, n, 0, 0),
                                   memory_space=pltpu.VMEM)] * 2
-        args += [k_scale.reshape(b, n_blocks, sub, p),
-                 v_scale.reshape(b, n_blocks, sub, p)]
+        args += [k_scale.reshape(b, n_blocks, sub, p_full),
+                 v_scale.reshape(b, n_blocks, sub, p_full)]
     if has_extra:
         sx = extra_k.shape[1]
         in_specs += [
@@ -246,15 +258,31 @@ def ring_gqa_attention(q, k_ring, v_ring, slot_pos, q_pos, *,
     )(*args)
 
 
+def slot_buckets(phys: int, floor: int = 256) -> list[int]:
+    """Static prefix-read sizes for a ring with `phys` physical slots:
+    doubling sizes from `floor`, then phys itself. Near-duplicates of phys
+    (within one 128-slot block) are dropped."""
+    out = [v for v in (floor, 2 * floor, 4 * floor, 8 * floor, 16 * floor,
+                       32 * floor) if v < phys - 128]
+    return out + [phys]
+
+
 def ring_attention(q, k_ring, v_ring, slot_pos, q_pos, *,
                    window: int, heads: int, kv_heads: int, head_dim: int,
                    k_scale=None, v_scale=None, extra_kv=None,
+                   n_valid_slots=None,
                    force_pallas: bool | None = None):
     """Backend dispatcher used by the models.
 
     On TPU (or when rings are int8, which only the fused kernel supports)
     runs the Pallas kernel; on CPU runs it in interpreter mode for int8 or
     falls back to the XLA oracle for float rings. Trace-time static choice.
+
+    n_valid_slots: optional upper bound (int or traced scalar, shared by all
+    streams — the lockstep cursor guarantees this) on the number of ring
+    slots that can hold valid entries. A traced bound selects one of a few
+    static prefix sizes via lax.switch, so early-stream steps never DMA the
+    empty ring tail; slots beyond the bound MUST be invalid (slot_pos < 0).
     """
     on_tpu = jax.default_backend() == "tpu"
     use_pallas = force_pallas if force_pallas is not None \
@@ -263,11 +291,27 @@ def ring_attention(q, k_ring, v_ring, slot_pos, q_pos, *,
     if extra_kv is not None:
         xk, xv, xp = extra_kv
     if use_pallas:
-        return ring_gqa_attention(
-            q, k_ring, v_ring, slot_pos, q_pos, window=window, heads=heads,
-            kv_heads=kv_heads, head_dim=head_dim, k_scale=k_scale,
-            v_scale=v_scale, extra_k=xk, extra_v=xv, extra_pos=xp,
-            interpret=not on_tpu)
+        def run(p_limit):
+            return ring_gqa_attention(
+                q, k_ring, v_ring, slot_pos, q_pos, window=window,
+                heads=heads, kv_heads=kv_heads, head_dim=head_dim,
+                k_scale=k_scale, v_scale=v_scale, extra_k=xk, extra_v=xv,
+                extra_pos=xp, p_limit=p_limit, interpret=not on_tpu)
+
+        phys = k_ring.shape[1]
+        if n_valid_slots is None:
+            return run(None)
+        buckets = slot_buckets(phys)
+        if isinstance(n_valid_slots, int):
+            nv = min(n_valid_slots, phys)
+            return run(next(v for v in buckets if v >= nv))
+        if len(buckets) == 1:
+            return run(buckets[0])
+        nv = jnp.minimum(jnp.asarray(n_valid_slots, jnp.int32), phys)
+        idx = jnp.searchsorted(jnp.asarray(buckets, jnp.int32), nv,
+                               side="left")
+        return jax.lax.switch(idx, [functools.partial(run, v)
+                                    for v in buckets])
     from voxtral_tpu.ops.attention import ring_decode_attention
     b, s, qd = q.shape
     p = k_ring.shape[1]
