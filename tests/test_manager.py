@@ -123,3 +123,29 @@ def test_alt_tokens_surface(tiny_cfg, tiny_params):
         assert len(entry) == 3          # (id, piece, alts)
         tid, piece, alts = entry
         assert isinstance(alts, list)
+
+
+def test_meshed_manager_matches_single_device(tiny_cfg, tiny_params):
+    """FleetManager(mesh=...) serves int8-KV streams through the
+    shard_mapped Pallas kernel (TP heads + DP streams) and must reproduce
+    the single-device manager's tokens."""
+    import jax
+    from voxtral_tpu.parallel.sharding import make_mesh
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    if tiny_cfg.decoder.kv_heads % 2 or tiny_cfg.encoder.heads % 2:
+        pytest.skip("tiny config heads not 2-divisible")
+    a0, a1 = _audio(3), _audio(4, seconds=2.0)
+
+    ref = FleetManager(tiny_params, tiny_cfg, batch=2, chunk_tokens=8,
+                       dec_ring=256, continuous=True, kv_dtype="int8")
+    r0, r1 = ref.attach(), ref.attach()
+    want = _serve(ref, {r0: a0, r1: a1})
+
+    with FleetManager(tiny_params, tiny_cfg, batch=2, chunk_tokens=8,
+                      dec_ring=256, continuous=True, kv_dtype="int8",
+                      mesh=make_mesh(2, 2)) as mgr:
+        s0, s1 = mgr.attach(), mgr.attach()
+        got = _serve(mgr, {s0: a0, s1: a1})
+    assert got[s0] == want[r0]
+    assert got[s1] == want[r1]

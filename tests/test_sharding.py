@@ -118,9 +118,7 @@ def test_fleet_matches_streaming_engine(small_cfg, small_params):
 
 def test_int8_fleet_state_shards(small_cfg):
     """Int8 KV state tree places correctly on the mesh (rings head-sharded,
-    scale tables [B, Hkv, P] sharded the same way). Compute with Pallas
-    kernels under GSPMD needs shard_map (future work); this validates state
-    placement + the pspec tree structure."""
+    scale tables [B, Hkv, P] sharded the same way)."""
     from voxtral_tpu.parallel.sharding import (
         fleet_state_pspecs, make_mesh, shard_tree,
     )
@@ -133,3 +131,34 @@ def test_int8_fleet_state_shards(small_cfg):
     ks = sharded.decode.k_scale[0]
     assert ks.sharding.spec == ("data", "model", None)
     assert sharded.decode.k_ring[0].dtype == jnp.int8
+
+
+def test_tp_dp_int8_fleet_matches_single_device(small_cfg, small_params):
+    """Int8 KV rings force the Pallas kernel, which GSPMD cannot partition:
+    under use_tp_mesh the kernel runs inside shard_map (heads on 'model',
+    streams on 'data') and must reproduce the single-device tokens."""
+    from voxtral_tpu.parallel.sharding import use_tp_mesh
+    cfg, params = small_cfg, small_params
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    t_ada = _t_ada(cfg, params)
+    rng = np.random.RandomState(2)
+    b = 2
+    mel_first = jnp.asarray(
+        rng.rand(b, cfg.audio.mel_bins, 320).astype(np.float32))
+    mel_chunks = [jnp.asarray(rng.rand(b, cfg.audio.mel_bins, 64)
+                              .astype(np.float32)) for _ in range(2)]
+
+    state0 = init_fleet_state(cfg, batch=b, enc_ring=512, dec_ring=128,
+                              kv_dtype="int8")
+    ref_tokens = _run_fleet(cfg, params, state0, mel_first, mel_chunks, t_ada)
+
+    mesh = make_mesh(2, 4)
+    with use_tp_mesh(mesh):
+        sp = shard_params(params, cfg, mesh)
+        st = shard_tree(
+            init_fleet_state(cfg, batch=b, enc_ring=512, dec_ring=128,
+                             kv_dtype="int8"),
+            fleet_state_pspecs(cfg, "int8"), mesh)
+        tp_tokens = _run_fleet(cfg, sp, st, mel_first, mel_chunks, t_ada)
+    np.testing.assert_array_equal(ref_tokens, tp_tokens)

@@ -267,6 +267,85 @@ def slot_buckets(phys: int, floor: int = 256) -> list[int]:
     return out + [phys]
 
 
+def _pallas_dispatch(q, k_ring, v_ring, slot_pos, q_pos, *,
+                     window, heads, kv_heads, head_dim, k_scale, v_scale,
+                     xk, xv, xp, n_valid_slots, interpret):
+    """Prefix-bucket dispatch onto the fused kernel (single device / one
+    shard_map shard). See ring_attention for the n_valid_slots contract."""
+    def run(p_limit):
+        return ring_gqa_attention(
+            q, k_ring, v_ring, slot_pos, q_pos, window=window,
+            heads=heads, kv_heads=kv_heads, head_dim=head_dim,
+            k_scale=k_scale, v_scale=v_scale, extra_k=xk, extra_v=xv,
+            extra_pos=xp, p_limit=p_limit, interpret=interpret)
+
+    phys = k_ring.shape[1]
+    if n_valid_slots is None:
+        return run(None)
+    buckets = slot_buckets(phys)
+    if isinstance(n_valid_slots, int):
+        nv = min(n_valid_slots, phys)
+        return run(next(v for v in buckets if v >= nv))
+    if len(buckets) == 1:
+        return run(buckets[0])
+    nv = jnp.minimum(jnp.asarray(n_valid_slots, jnp.int32), phys)
+    idx = jnp.searchsorted(jnp.asarray(buckets, jnp.int32), nv,
+                           side="left")
+    return jax.lax.switch(idx, [functools.partial(run, v)
+                                for v in buckets])
+
+
+def _shard_mapped_attention(mesh, da, ma, q, k_ring, v_ring, slot_pos,
+                            q_pos, *, window, heads, kv_heads, head_dim,
+                            k_scale, v_scale, xk, xv, xp, n_valid_slots,
+                            interpret):
+    """TP/DP execution of the fused kernel: GSPMD cannot auto-partition a
+    pallas_call, so under a multi-device mesh the kernel runs inside
+    shard_map — streams sharded over the data axis, (kv-)heads over the
+    model axis (the merged trailing head axis of q/rings/output and the head
+    axis of the scale tables). Each shard runs the same prefix-bucket
+    dispatch on its local heads; no collectives are needed (attention is
+    head-local; the psum after the row-sharded wo matmul stays GSPMD's
+    job)."""
+    from jax.sharding import PartitionSpec as P
+    m = mesh.shape[ma]
+    assert kv_heads % m == 0, \
+        f"kv_heads {kv_heads} not divisible by model axis {m}"
+    lh, lhkv = heads // m, kv_heads // m
+    has_scales, has_extra = k_scale is not None, xk is not None
+    nv_traced = (n_valid_slots is not None
+                 and not isinstance(n_valid_slots, int))
+    args = [q, k_ring, v_ring, slot_pos, q_pos]
+    specs = [P(da, None, ma), P(da, None, ma), P(da, None, ma),
+             P(da, None), P(da, None)]
+    if has_scales:
+        args += [k_scale, v_scale]
+        specs += [P(da, ma, None)] * 2
+    if has_extra:
+        args += [xk, xv, jnp.asarray(xp, jnp.int32)]
+        specs += [P(da, None, ma), P(da, None, ma), P(da, None)]
+    if nv_traced:
+        args.append(jnp.asarray(n_valid_slots, jnp.int32))
+        specs.append(P())
+
+    def inner(*ops):
+        it = iter(ops)
+        q_, k_, v_, sp_, qp_ = (next(it) for _ in range(5))
+        ks_ = vs_ = xk_ = xv_ = xp_ = None
+        if has_scales:
+            ks_, vs_ = next(it), next(it)
+        if has_extra:
+            xk_, xv_, xp_ = next(it), next(it), next(it)
+        nv_ = next(it) if nv_traced else n_valid_slots
+        return _pallas_dispatch(
+            q_, k_, v_, sp_, qp_, window=window, heads=lh, kv_heads=lhkv,
+            head_dim=head_dim, k_scale=ks_, v_scale=vs_, xk=xk_, xv=xv_,
+            xp=xp_, n_valid_slots=nv_, interpret=interpret)
+
+    return jax.shard_map(inner, mesh=mesh, in_specs=tuple(specs),
+                         out_specs=P(da, None, ma), check_vma=False)(*args)
+
+
 def ring_attention(q, k_ring, v_ring, slot_pos, q_pos, *,
                    window: int, heads: int, kv_heads: int, head_dim: int,
                    k_scale=None, v_scale=None, extra_kv=None,
@@ -277,6 +356,8 @@ def ring_attention(q, k_ring, v_ring, slot_pos, q_pos, *,
     On TPU (or when rings are int8, which only the fused kernel supports)
     runs the Pallas kernel; on CPU runs it in interpreter mode for int8 or
     falls back to the XLA oracle for float rings. Trace-time static choice.
+    When traced under parallel.sharding.use_tp_mesh(mesh) with >1 device,
+    the kernel runs inside shard_map (see _shard_mapped_attention).
 
     n_valid_slots: optional upper bound (int or traced scalar, shared by all
     streams — the lockstep cursor guarantees this) on the number of ring
@@ -291,27 +372,22 @@ def ring_attention(q, k_ring, v_ring, slot_pos, q_pos, *,
     if extra_kv is not None:
         xk, xv, xp = extra_kv
     if use_pallas:
-        def run(p_limit):
-            return ring_gqa_attention(
-                q, k_ring, v_ring, slot_pos, q_pos, window=window,
-                heads=heads, kv_heads=kv_heads, head_dim=head_dim,
-                k_scale=k_scale, v_scale=v_scale, extra_k=xk, extra_v=xv,
-                extra_pos=xp, p_limit=p_limit, interpret=not on_tpu)
-
-        phys = k_ring.shape[1]
-        if n_valid_slots is None:
-            return run(None)
-        buckets = slot_buckets(phys)
-        if isinstance(n_valid_slots, int):
-            nv = min(n_valid_slots, phys)
-            return run(next(v for v in buckets if v >= nv))
-        if len(buckets) == 1:
-            return run(buckets[0])
-        nv = jnp.minimum(jnp.asarray(n_valid_slots, jnp.int32), phys)
-        idx = jnp.searchsorted(jnp.asarray(buckets, jnp.int32), nv,
-                               side="left")
-        return jax.lax.switch(idx, [functools.partial(run, v)
-                                    for v in buckets])
+        from voxtral_tpu.parallel.sharding import active_tp_mesh
+        ctx = active_tp_mesh()
+        if ctx is not None:
+            mesh, da, ma = ctx
+            if mesh.shape[da] * mesh.shape[ma] > 1:
+                return _shard_mapped_attention(
+                    mesh, da, ma, q, k_ring, v_ring, slot_pos, q_pos,
+                    window=window, heads=heads, kv_heads=kv_heads,
+                    head_dim=head_dim, k_scale=k_scale, v_scale=v_scale,
+                    xk=xk, xv=xv, xp=xp, n_valid_slots=n_valid_slots,
+                    interpret=not on_tpu)
+        return _pallas_dispatch(
+            q, k_ring, v_ring, slot_pos, q_pos, window=window, heads=heads,
+            kv_heads=kv_heads, head_dim=head_dim, k_scale=k_scale,
+            v_scale=v_scale, xk=xk, xv=xv, xp=xp,
+            n_valid_slots=n_valid_slots, interpret=not on_tpu)
     from voxtral_tpu.ops.attention import ring_decode_attention
     b, s, qd = q.shape
     p = k_ring.shape[1]

@@ -18,6 +18,8 @@ TP layout (megatron-style, applied to the stacked [L, ...] param tree):
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -25,6 +27,43 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from voxtral_tpu.config import VoxtralConfig
 
 DATA, MODEL = "data", "model"
+
+# Trace-time TP context: GSPMD cannot auto-partition a pallas_call, so the
+# fused attention kernel must run under shard_map with explicit specs when a
+# multi-device mesh is in play. The step functions are traced inside
+# `use_tp_mesh(mesh)`; ops/pallas_attention.py consults `active_tp_mesh()`
+# at trace time and wraps the kernel accordingly. (The pure-XLA oracle path
+# needs none of this — GSPMD partitions it on its own.)
+_TP_CTX: tuple | None = None
+
+
+@contextlib.contextmanager
+def use_tp_mesh(mesh: Mesh, data_axis: str = DATA, model_axis: str = MODEL):
+    """Activate `mesh` for Pallas-kernel sharding while tracing/jitting the
+    step functions. Trace-time only (no runtime effect): enter it once
+    before the first call of each step function and keep it open for the
+    serving session. Because jaxpr traces are cached by shape/dtype only,
+    entering/leaving with a DIFFERENT context clears JAX's caches — a trace
+    made without shard_map must not be reused under the mesh (GSPMD cannot
+    partition a pallas_call)."""
+    global _TP_CTX
+    prev = _TP_CTX
+    new = (mesh, data_axis, model_axis)
+    if new != prev:
+        jax.clear_caches()
+    _TP_CTX = new
+    try:
+        yield
+    finally:
+        _TP_CTX = prev
+        if new != prev:
+            jax.clear_caches()
+
+
+def active_tp_mesh() -> tuple | None:
+    """(mesh, data_axis, model_axis) if tracing under use_tp_mesh, else
+    None."""
+    return _TP_CTX
 
 
 def make_mesh(n_data: int, n_model: int, devices=None) -> Mesh:

@@ -76,7 +76,20 @@ class FleetManager:
                  delay_tokens: int | None = None, kv_dtype: str = "float",
                  enc_ring: int | None = None, dec_ring: int = 2048,
                  continuous: bool = True, n_alt: int = 1,
-                 alt_cutoff: float = 0.0):
+                 alt_cutoff: float = 0.0, mesh=None):
+        # mesh: optional ('data','model') jax Mesh for multi-chip serving —
+        # params are TP-sharded, stream state DP/head-sharded, and the
+        # manager holds parallel.sharding.use_tp_mesh OPEN for its lifetime
+        # so the fused attention kernel traces under shard_map (call
+        # close() to release). batch must divide by the data axis.
+        self.mesh = mesh
+        self._mesh_cm = None
+        if mesh is not None:
+            from voxtral_tpu.parallel.sharding import (
+                shard_params, use_tp_mesh)
+            self._mesh_cm = use_tp_mesh(mesh)
+            self._mesh_cm.__enter__()
+            params = shard_params(params, cfg, mesh)
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer
@@ -99,6 +112,11 @@ class FleetManager:
         self.state = init_fleet_state(
             cfg, batch=batch, enc_ring=enc_ring, dec_ring=dec_ring,
             max_mel_chunk=self.chunk_mel, kv_dtype=kv_dtype)
+        if mesh is not None:
+            from voxtral_tpu.parallel.sharding import (
+                fleet_state_pspecs, shard_tree)
+            self.state = shard_tree(
+                self.state, fleet_state_pspecs(cfg, kv_dtype), mesh)
         self.slots = [_Slot() for _ in range(batch)]
         self.left_pad = (st.n_left_pad_tokens * cfg.audio.raw_audio_per_token
                          - pcm_stream_skew(cfg))
@@ -302,3 +320,15 @@ class FleetManager:
             "text_tokens": sum(s.text_tokens for s in self.slots),
             "restarts": sum(s.restarts for s in self.slots),
         }
+
+    def close(self):
+        """Release the TP mesh context (no-op for single-device managers)."""
+        if self._mesh_cm is not None:
+            self._mesh_cm.__exit__(None, None, None)
+            self._mesh_cm = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
