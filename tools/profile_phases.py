@@ -9,6 +9,7 @@ VOX_PROF_STREAMS / VOX_PROF_CHUNK_MEL to vary.
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -67,6 +68,22 @@ def timeit(name, fn, *args, iters=8):
     return out, ms
 
 
+def timeit_carry(name, fn, carry, *args, iters=8):
+    """Loop-carried timing for state->state programs (donated carry): each
+    iteration consumes the previous one's state, so dispatches can't overlap
+    and HBM holds ONE copy of the rings (see SPEED.md 'loop-invariant scan
+    benchmarks' / the B=32 profiler OOM)."""
+    carry, out = fn(carry, *args)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        carry, out = fn(carry, *args)
+    _sync(out)
+    ms = (time.perf_counter() - t0) / iters * 1e3
+    print(f"{name:32s} {ms:8.2f} ms", file=sys.stderr)
+    return carry, out, ms
+
+
 # params must be explicit jit args: closed-over device arrays are baked
 # into the lowered HLO as constants and the axon remote-compile endpoint
 # rejects the multi-GB request body (HTTP 413).
@@ -84,9 +101,9 @@ def p_conv(enc_p, state, mel):
     return jnp.swapaxes(c, 1, 2).astype(cfg.compute_dtype)
 
 
-@jax.jit
-def p_encoder(enc_p, state, h):
-    return encoder_incremental(enc_p, cfg, state.encoder, h)
+@partial(jax.jit, donate_argnums=0)
+def p_encoder(enc_state, enc_p, h):
+    return encoder_incremental(enc_p, cfg, enc_state, h)
 
 
 @jax.jit
@@ -94,25 +111,32 @@ def p_adapter(ada_p, enc_out):
     return jax.vmap(lambda e: adapter_forward(ada_p, cfg, e))(enc_out)
 
 
-@jax.jit
-def p_decode(dec_p, state, frames, t_ada):
+@partial(jax.jit, donate_argnums=0)
+def p_decode(dec_state, dec_p, frames, t_ada):
     n = frames.shape[1]
-    return decode_scan(dec_p, cfg, state.decode, frames,
-                       jnp.full((B,), n, jnp.int32), t_ada)
+    st, toks, _ = decode_scan(dec_p, cfg, dec_state, frames,
+                              jnp.full((B,), n, jnp.int32), t_ada)
+    return st, toks
 
 
 (mel, _), t_mel = timeit("device mel", p_mel, state, pcm)
 h, t_conv = timeit("conv stem", p_conv, params["encoder"], state, mel)
-(enc_state, enc_out), t_enc = timeit("encoder chunk (32L)", p_encoder,
-                                     params["encoder"], state, h)
+# The encoder/decode phases donate + loop-carry their ring state: one copy
+# of the rings in HBM (non-donated timing OOMs at B=32) and no dispatch
+# overlap between iterations. The donated buffers are shared with `state`,
+# so it is re-initialized below before the full-step timing.
+enc_state, enc_out, t_enc = timeit_carry("encoder chunk (32L)", p_encoder,
+                                         state.encoder, params["encoder"], h)
 frames, t_ad = timeit("adapter", p_adapter, params["adapter"], enc_out)
-dec_out, t_dec = timeit(f"decode scan ({T//8} tokens)", p_decode,
-                        params["decoder"], state, frames, t_ada)
+dec_state, dec_out, t_dec = timeit_carry(
+    f"decode scan ({T//8} tokens)", p_decode, state.decode,
+    params["decoder"], frames, t_ada)
 
 # free phase intermediates before the full step (HBM is tight)
-del mel, h, enc_state, enc_out, frames, dec_out
+del mel, h, enc_state, enc_out, frames, dec_state, dec_out, state
 
-s2 = state
+s2 = init_fleet_state(cfg, batch=B, enc_ring=912, dec_ring=2048,
+                      max_mel_chunk=320, kv_dtype=KV)
 s2, tok, _ = fleet_step_pcm(params, cfg, s2, pcm, t_ada)  # compile (donates)
 np.asarray(tok)
 t0 = time.perf_counter()
