@@ -328,6 +328,45 @@ def fleet_step_masked(params, cfg: VoxtralConfig, state: FleetState,
     return new_state, tokens, aux
 
 
+def age_fleet_state(cfg: VoxtralConfig, state: FleetState,
+                    decoder_positions: int) -> FleetState:
+    """Fleet state as if every stream had already processed
+    `decoder_positions` decode positions (4x that many encoder positions),
+    far enough that both rings have wrapped: every slot holds a valid
+    logical position, so the prefix-bucketed attention reads the WHOLE ring.
+
+    Benchmarking/profiling helper: ring contents stay zeros (attention cost
+    depends on validity masks, not values), so this reproduces the
+    steady-state cost of a long-running stream without feeding minutes of
+    audio. A fresh fleet reaches this state naturally once a stream's
+    context passes the ring size (dec ring 2048 ~= 164 s of audio)."""
+    import numpy as np
+
+    def age(s, pos0, next_field, extra):
+        phys = s.slot_pos.shape[1]
+        np_ = s.pending_sp.shape[1]
+        ring = phys - np_
+        assert pos0 >= phys, (pos0, phys)
+        b = s.slot_pos.shape[0]
+        j = np.arange(phys)
+        # slot j holds position p ≡ j (mod ring), p in [pos0 - ring, pos0);
+        # overflow slots keep their pre-wrap (older, out-of-window) entries
+        p = pos0 - ring + (j - pos0 % ring) % ring
+        p[ring:] -= ring
+        return s._replace(
+            slot_pos=jnp.asarray(np.tile(p, (b, 1)), jnp.int32),
+            write_ctr=jnp.int32(pos0),
+            pending_sp=jnp.full_like(s.pending_sp, -(1 << 30)),
+            pending_adv=jnp.zeros((), jnp.int32),
+            **{next_field: jnp.full((b,), pos0, jnp.int32)}, **extra)
+
+    b = state.decode.pos.shape[0]
+    enc = age(state.encoder, decoder_positions * 4, "next_pos", {})
+    dec = age(state.decode, decoder_positions, "pos",
+              dict(prev_token=jnp.full((b,), 1000, jnp.int32)))
+    return state._replace(encoder=enc, decode=dec)
+
+
 @partial(jax.jit, static_argnames=("cfg", "full"), donate_argnums=(1,))
 def fleet_reset_slots(cfg: VoxtralConfig, state: FleetState,
                       mask: jax.Array, *, full: bool) -> FleetState:
