@@ -125,6 +125,79 @@ def test_alt_tokens_surface(tiny_cfg, tiny_params):
         assert isinstance(alts, list)
 
 
+def test_finished_stream_matches_batch_pipeline(tiny_cfg, tiny_params):
+    """A finished non-continuous manager stream must reproduce the batch
+    pipeline's greedy tokens EXACTLY — including the tail: finish() caps
+    emission at the exact right-pad schedule, so the chunk-fill padding
+    the fleet needs for fixed shapes is invisible in the output."""
+    from voxtral_tpu.models.pipeline import transcribe_tokens_batch
+    audio = _audio(9, seconds=2.7)    # deliberately not chunk-aligned
+    want = [int(t) for t in
+            transcribe_tokens_batch(tiny_params, tiny_cfg, audio)[0]]
+
+    mgr = FleetManager(tiny_params, tiny_cfg, batch=2, chunk_tokens=8,
+                       dec_ring=256, continuous=False)
+    sid = mgr.attach()
+    mgr.feed(sid, audio)
+    mgr.finish(sid)
+    for _ in range(64):
+        if mgr.is_finished(sid):
+            break
+        mgr.poll()
+    assert mgr.is_finished(sid)
+    assert list(mgr.slots[sid].all_ids) == want
+
+
+def test_s16_wire_matches_f32(tiny_cfg, tiny_params):
+    """wire_dtype='s16' ships PCM as int16 and converts on device — exact
+    for s16-origin audio (every WAV/mic sample), so tokens must bit-match
+    the f32 wire."""
+    rng = np.random.RandomState(7)
+    s16 = (rng.randn(3 * 16000) * 0.25 * 32768).clip(-32768, 32767)
+    s16 = s16.astype(np.int16)
+    audio = s16.astype(np.float32) / 32768.0
+
+    want = _solo_tokens(tiny_params, tiny_cfg, audio)
+    mgr = FleetManager(tiny_params, tiny_cfg, batch=1, chunk_tokens=8,
+                       dec_ring=256, continuous=True, wire_dtype="s16")
+    sid = mgr.attach()
+    got = _serve(mgr, {sid: audio})[sid]
+    assert got == want
+
+
+def test_restart_with_staged_chunk_pushback(tiny_cfg, tiny_params):
+    """Pipelined poll(): a watchdog restart discovered while the next chunk
+    is already staged must push the samples back (and re-project replay)
+    such that staging depth is invisible — feeding the whole clip up front
+    (deep staging, restarts always hit a staged chunk) produces exactly the
+    tokens of feeding it in small pieces (shallow staging)."""
+    import voxtral_tpu.runtime.manager as M
+    audio = _audio(11, seconds=4.0)
+    old = M.MAX_DECODE_KV
+    M.MAX_DECODE_KV = 24            # restart every ~3 chunks
+    try:
+        def run(feed_piece):
+            mgr = FleetManager(tiny_params, tiny_cfg, batch=1,
+                               chunk_tokens=8, dec_ring=256, continuous=True)
+            sid = mgr.attach()
+            for i in range(0, len(audio), feed_piece):
+                mgr.feed(sid, audio[i:i + feed_piece])
+                mgr.poll()
+            mgr.finish(sid)
+            for _ in range(64):
+                if mgr.is_finished(sid):
+                    break
+                mgr.poll()
+            assert mgr.stats()["restarts"] >= 1
+            return list(mgr.slots[sid].all_ids)
+
+        deep = run(len(audio))         # everything buffered -> deep staging
+        shallow = run(12000)           # ~1 chunk per poll
+    finally:
+        M.MAX_DECODE_KV = old
+    assert deep == shallow
+
+
 def test_meshed_manager_matches_single_device(tiny_cfg, tiny_params):
     """FleetManager(mesh=...) serves int8-KV streams through the
     shard_mapped Pallas kernel (TP heads + DP streams) and must reproduce

@@ -296,6 +296,11 @@ def fleet_step_masked(params, cfg: VoxtralConfig, state: FleetState,
     b, n_samp = pcm.shape
     t = n_samp // cfg.audio.hop_length
     n = t // 8
+    if pcm.dtype == jnp.int16:
+        # s16 wire format (manager wire_dtype="s16"): native WAV/mic sample
+        # format, half the host->device bytes; the conversion is exact
+        # (int16 -> f32 lossless, *2^-15 scales the exponent only)
+        pcm = pcm.astype(jnp.float32) * (1.0 / 32768.0)
     mel, new_tail = _device_log_mel(cfg, state.pcm_tail, pcm)
     act_col = active[:, None]
     pcm_tail = jnp.where(act_col, new_tail, state.pcm_tail)

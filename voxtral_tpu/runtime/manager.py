@@ -47,6 +47,24 @@ EMPTY_RESTARTS_FOR_FULL_RESET = 2
 
 
 @dataclasses.dataclass
+class _Staged:
+    """A cut-and-uploaded chunk batch awaiting dispatch (see poll()).
+
+    Staging happens while the PREVIOUS step still runs on the device: the
+    PCM upload (the dominant host cost — ~20 MB/step at B=32) overlaps
+    device compute instead of serializing with it. `raw` keeps the host
+    copy of each slot's samples so a watchdog restart discovered when the
+    previous step's tokens land can push the chunk back into the slot's
+    buffer (the staged row is then masked off and re-cut after the
+    restart, exactly like the unpipelined order of events)."""
+    pcm_dev: object                        # device [B, chunk_samp]
+    active: "np.ndarray"                   # [B] bool (host; mutable)
+    forced: "np.ndarray"                   # [B, n] int32
+    part: list                             # participating sids
+    raw: dict                              # sid -> host samples row
+
+
+@dataclasses.dataclass
 class _Slot:
     active: bool = False
     buf: np.ndarray = None                 # pending samples
@@ -60,6 +78,11 @@ class _Slot:
     samples_since_text: int = 0
     text_since_restart: bool = False
     empty_restarts: int = 0
+    # finish(): number of real (non-chunk-fill) tokens this stream will have
+    # emitted in total — output beyond it comes from the final chunk's fill
+    # padding and is dropped (exact parity with the batch pipeline's
+    # right-pad schedule)
+    token_limit: int = None
     # stats
     generated: int = 0
     text_tokens: int = 0
@@ -76,7 +99,12 @@ class FleetManager:
                  delay_tokens: int | None = None, kv_dtype: str = "float",
                  enc_ring: int | None = None, dec_ring: int = 2048,
                  continuous: bool = True, n_alt: int = 1,
-                 alt_cutoff: float = 0.0, mesh=None):
+                 alt_cutoff: float = 0.0, mesh=None,
+                 wire_dtype: str = "f32"):
+        # wire_dtype="s16": ship PCM to the device as int16 (the native WAV/
+        # mic sample format — halves host->device traffic) and convert on
+        # device (exact: int16 -> f32 and the *2^-15 scale are lossless).
+        # Float feeds are round-tripped through int16 in this mode.
         # mesh: optional ('data','model') jax Mesh for multi-chip serving —
         # params are TP-sharded, stream state DP/head-sharded, and the
         # manager holds parallel.sharding.use_tp_mesh OPEN for its lifetime
@@ -121,6 +149,9 @@ class FleetManager:
         self.left_pad = (st.n_left_pad_tokens * cfg.audio.raw_audio_per_token
                          - pcm_stream_skew(cfg))
         self.steps = 0
+        assert wire_dtype in ("f32", "s16"), wire_dtype
+        self.wire_dtype = wire_dtype
+        self._staged_next = None       # _Staged in flight during consume
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -160,7 +191,14 @@ class FleetManager:
         total = len(s.buf)
         align = (mult - (total % mult)) % mult
         pad = align + n_right * mult
-        rem = (len(s.buf) + pad) % self.chunk_samp
+        # tokens beyond the exact right-pad schedule come from rounding the
+        # final chunk up to the step size — cap the emitted stream so a
+        # finished slot's output matches the batch pipeline token-for-token
+        real_remaining = (total + pad) // mult
+        # finish() runs outside poll(), so nothing is in flight: `generated`
+        # is exact, and replay_left frames of the remainder emit no tokens
+        s.token_limit = s.generated + real_remaining - max(s.replay_left, 0)
+        rem = (total + pad) % self.chunk_samp
         if rem:
             pad += self.chunk_samp - rem
         s.buf = np.concatenate([s.buf, np.zeros(pad, np.float32)])
@@ -182,9 +220,72 @@ class FleetManager:
                    for s in self.slots)
 
     def poll(self):
-        """Run lockstep steps while any stream has a full chunk buffered."""
-        while self.ready():
-            self._step()
+        """Run lockstep steps while any stream has a full chunk buffered.
+
+        Double-buffered: while step k runs on the device, step k+1's chunks
+        are cut and UPLOADED (the host->device PCM transfer overlaps device
+        compute — on slow links the upload otherwise costs as much as the
+        step itself; see SPEED.md). Step k+1's forced-replay rows are
+        projected past step k's in-flight replay, so results are identical
+        to the serial order; a restart discovered in step k's tokens pushes
+        the staged slot's samples back and masks its row off."""
+        staged = self._stage({})
+        while staged is not None:
+            topk = self.n_alt if self.n_alt > 1 else 0
+            self.state, tokens, aux = fleet_step_masked(
+                self.params, self.cfg, self.state, staged.pcm_dev,
+                jnp.asarray(staged.active), jnp.asarray(staged.forced),
+                self.t_ada, collect_topk=topk)
+            inflight = {sid: int((staged.forced[sid] >= 0).sum())
+                        for sid in staged.part}
+            self._staged_next = self._stage(inflight)  # overlaps the step
+            tokens = np.asarray(tokens)                # wait for the step
+            alts = None
+            if topk:
+                alts = (np.asarray(aux["topk_vals"]),
+                        np.asarray(aux["topk_idx"]),
+                        np.asarray(aux["logsumexp"]))
+            self.steps += 1
+            for sid in staged.part:
+                self._consume(sid, tokens[sid], staged.forced[sid],
+                              None if alts is None else
+                              (alts[0][sid], alts[1][sid], alts[2][sid]))
+            staged, self._staged_next = self._staged_next, None
+            if staged is None and self.ready():
+                # a restart re-buffered samples during consume
+                staged = self._stage({})
+
+    def _stage(self, inflight: dict):
+        """Cut a full chunk from every ready slot and start its upload.
+        inflight: sid -> number of forced-replay tokens in the step that is
+        currently executing (not yet consumed) — replay projection keeps
+        the staged forced rows identical to what the serial order would
+        compute."""
+        if not self.ready():
+            return None
+        b, n = self.batch, self.n
+        wire = np.int16 if self.wire_dtype == "s16" else np.float32
+        pcm = np.zeros((b, self.chunk_samp), wire)
+        active = np.zeros(b, bool)
+        forced = np.full((b, n), -1, np.int32)
+        part, raw = [], {}
+        for sid, s in enumerate(self.slots):
+            if not s.active or len(s.buf) < self.chunk_samp:
+                continue
+            row = s.buf[:self.chunk_samp]
+            s.buf = s.buf[self.chunk_samp:]
+            raw[sid] = row
+            if wire is np.int16:
+                pcm[sid] = np.clip(np.rint(row * 32768.0), -32768, 32767)
+            else:
+                pcm[sid] = row
+            active[sid] = True
+            part.append(sid)
+            rl = s.replay_left - inflight.get(sid, 0)
+            if rl > 0:
+                forced[sid, :min(rl, n)] = self.cfg.streaming.streaming_pad
+        return _Staged(pcm_dev=jnp.asarray(pcm), active=active,
+                       forced=forced, part=part, raw=raw)
 
     def _reset_device(self, sid: int, *, full: bool):
         mask = np.zeros(self.batch, bool)
@@ -197,6 +298,18 @@ class FleetManager:
         if not s.text_since_restart:
             s.empty_restarts += 1
         full = full or s.empty_restarts >= EMPTY_RESTARTS_FOR_FULL_RESET
+        # un-stage: a chunk already cut+uploaded for the NEXT step was cut
+        # under pre-restart assumptions (forced rows, audio continuity for
+        # full resets) — push its samples back and mask its row off; it is
+        # re-cut after the reset, restoring the serial order of events
+        nxt = self._staged_next
+        if nxt is not None and sid in nxt.raw:
+            s.buf = np.concatenate([nxt.raw.pop(sid), s.buf])
+            nxt.active[sid] = False
+            nxt.part.remove(sid)
+            nxt.forced[sid] = -1
+            if not nxt.part:
+                self._staged_next = None
         self._reset_device(sid, full=full)
         s.replay_left = self.prompt_len - 1
         s.pos = 0
@@ -206,40 +319,6 @@ class FleetManager:
             s.empty_restarts = 0
             s.buf = np.concatenate(
                 [np.zeros(self.left_pad, np.float32), s.buf])
-
-    def _step(self):
-        cfg = self.cfg
-        b, n = self.batch, self.n
-        pcm = np.zeros((b, self.chunk_samp), np.float32)
-        active = np.zeros(b, bool)
-        forced = np.full((b, n), -1, np.int32)
-        part = []
-        for sid, s in enumerate(self.slots):
-            if not s.active or len(s.buf) < self.chunk_samp:
-                continue
-            pcm[sid] = s.buf[:self.chunk_samp]
-            s.buf = s.buf[self.chunk_samp:]
-            active[sid] = True
-            part.append(sid)
-            if s.replay_left > 0:
-                k = min(s.replay_left, n)
-                forced[sid, :k] = cfg.streaming.streaming_pad
-        topk = self.n_alt if self.n_alt > 1 else 0
-        self.state, tokens, aux = fleet_step_masked(
-            self.params, cfg, self.state, jnp.asarray(pcm),
-            jnp.asarray(active), jnp.asarray(forced), self.t_ada,
-            collect_topk=topk)
-        tokens = np.asarray(tokens)
-        alts = None
-        if topk:
-            alts = (np.asarray(aux["topk_vals"]),
-                    np.asarray(aux["topk_idx"]),
-                    np.asarray(aux["logsumexp"]))
-        self.steps += 1
-        for sid in part:
-            self._consume(sid, tokens[sid], forced[sid],
-                          None if alts is None else
-                          (alts[0][sid], alts[1][sid], alts[2][sid]))
 
     def _alts(self, best: int, vals, idxs, lse):
         """Alternatives within 1 - p_i/p_best <= cutoff (voxtral.c:955-1010),
@@ -275,6 +354,8 @@ class FleetManager:
                 continue
             if t < 0:
                 continue
+            if s.token_limit is not None and s.generated >= s.token_limit:
+                continue               # final chunk's fill padding
             s.generated += 1
             s.all_ids.append(t)
             s.pos += 1
@@ -296,8 +377,10 @@ class FleetManager:
                 s.nontext_streak += 1
         s.pos += replay_used
         s.replay_left -= replay_used
+        in_flight = (self._staged_next is not None
+                     and sid in self._staged_next.raw)
         if not self.continuous:
-            if s.finishing and len(s.buf) < self.chunk_samp:
+            if s.finishing and len(s.buf) < self.chunk_samp and not in_flight:
                 s.finished = True
             return
         if s.pos > MAX_DECODE_KV:
@@ -309,7 +392,8 @@ class FleetManager:
             restart = "full"
         if restart and not s.finishing:
             self._restart(s, sid, full=(restart == "full"))
-        if s.finishing and len(s.buf) < self.chunk_samp:
+            in_flight = False          # _restart un-stages the slot
+        if s.finishing and len(s.buf) < self.chunk_samp and not in_flight:
             s.finished = True
 
     def stats(self) -> dict:
