@@ -91,6 +91,13 @@ def build(args):
         path = os.path.join(args.model_dir, "consolidated.safetensors")
         params = load_params(path, cfg)
         log(args, 1, f"model loaded in {time.time()-t0:.1f}s")
+    from voxtral_tpu.utils import device_memory_gb
+    mem = device_memory_gb()
+    if mem:
+        # the reference prints its GPU memory gauge after load
+        # (voxtral.c:281-283)
+        log(args, 1, f"device memory: {mem.get('hbm_used_gb', '?')} / "
+            f"{mem.get('hbm_limit_gb', '?')} GiB")
     return params, cfg, tokenizer
 
 
@@ -239,6 +246,16 @@ def main(argv=None):
             run_stdin(args, params, cfg, tokenizer)
         else:
             run_file(args, params, cfg, tokenizer)
+    except BrokenPipeError:
+        # downstream closed stdout (e.g. | head) — exit quietly like any
+        # well-behaved pipe citizen
+        import os
+        import sys
+        try:
+            sys.stdout.close()
+        except Exception:
+            pass
+        os._exit(0)
     finally:
         if args.profile:
             import jax

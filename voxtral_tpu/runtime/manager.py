@@ -397,12 +397,14 @@ class FleetManager:
             s.finished = True
 
     def stats(self) -> dict:
+        from voxtral_tpu.utils import device_memory_gb
         return {
             "steps": self.steps,
             "streams": sum(s.active for s in self.slots),
             "generated": sum(s.generated for s in self.slots),
             "text_tokens": sum(s.text_tokens for s in self.slots),
             "restarts": sum(s.restarts for s in self.slots),
+            **device_memory_gb(),
         }
 
     def close(self):
