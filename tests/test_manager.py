@@ -125,6 +125,53 @@ def test_alt_tokens_surface(tiny_cfg, tiny_params):
         assert isinstance(alts, list)
 
 
+def test_nondefault_delay_matches_batch(tiny_cfg, tiny_params):
+    """delay_tokens=12 needs a (12+1+10)-token right pad — finish() must
+    compute it from the LIVE delay (voxtral.c:1645-1648), else the last
+    ~0.5 s of tokens never drain."""
+    from voxtral_tpu.models.pipeline import transcribe_tokens_batch
+    audio = _audio(13, seconds=2.0)
+    want = [int(t) for t in transcribe_tokens_batch(
+        tiny_params, tiny_cfg, audio, delay_tokens=12)[0]]
+
+    mgr = FleetManager(tiny_params, tiny_cfg, batch=1, chunk_tokens=8,
+                       dec_ring=256, continuous=False, delay_tokens=12)
+    sid = mgr.attach()
+    mgr.feed(sid, audio)
+    mgr.finish(sid)
+    for _ in range(64):
+        if mgr.is_finished(sid):
+            break
+        mgr.poll()
+    assert mgr.is_finished(sid)
+    assert list(mgr.slots[sid].all_ids) == want
+
+
+def test_no_text_watchdog_clock_resets(tiny_cfg, tiny_params):
+    """After a no-text full restart the watchdog clock must restart too
+    (voxtral.c:1237) — else a silent stream full-restarts on every chunk
+    forever, re-prepending the left pad each time (livelock, growing buf)."""
+    import voxtral_tpu.runtime.manager as M
+    audio = _audio(14, seconds=4.0)
+    old = M.MAX_NO_TEXT_SECONDS
+    M.MAX_NO_TEXT_SECONDS = 0.5      # random weights emit no text tokens
+    try:
+        mgr = FleetManager(tiny_params, tiny_cfg, batch=1, chunk_tokens=8,
+                           dec_ring=256, continuous=True)
+        sid = mgr.attach()
+        for i in range(0, len(audio), 16000):   # 1 s per feed > 0.5 s cap
+            mgr.feed(sid, audio[i:i + 16000])
+            for _ in range(24):      # bounded drain (a livelock re-buffers
+                if len(mgr.slots[sid].buf) < mgr.chunk_samp:
+                    break            # the left pad forever and never drains)
+                mgr.poll()
+        assert len(mgr.slots[sid].buf) < mgr.chunk_samp, \
+            "silent-stream restart livelock (buf keeps growing)"
+        assert mgr.stats()["restarts"] >= 2
+    finally:
+        M.MAX_NO_TEXT_SECONDS = old
+
+
 def test_finished_stream_matches_batch_pipeline(tiny_cfg, tiny_params):
     """A finished non-continuous manager stream must reproduce the batch
     pipeline's greedy tokens EXACTLY — including the tail: finish() caps

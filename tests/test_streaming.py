@@ -61,6 +61,19 @@ def test_streaming_equals_batch_small_interval(tiny_cfg, tiny_params, audio,
     assert s.generated_ids == batch_tokens
 
 
+def test_streaming_nondefault_delay_matches_batch(tiny_cfg, tiny_params,
+                                                  audio):
+    """flush()/finish() must pad by the stream's LIVE delay
+    (voxtral.c:1645-1648): with delay_tokens=12 the right pad is 23 tokens,
+    not the config default's 17 — too little pad silently drops the tail."""
+    from voxtral_tpu.models.pipeline import transcribe_tokens_batch
+    want, _ = transcribe_tokens_batch(tiny_params, tiny_cfg, audio,
+                                      delay_tokens=12)
+    _, s = _stream_tokens(tiny_params, tiny_cfg, audio, [16000],
+                          delay_tokens=12)
+    assert s.generated_ids == [int(t) for t in want]
+
+
 def test_flush_midstream_keeps_stream_open(tiny_cfg, tiny_params, audio):
     s = VoxStream(tiny_params, tiny_cfg,
                   stream_cfg=StreamConfig(interval=2.0))

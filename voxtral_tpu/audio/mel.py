@@ -92,12 +92,19 @@ def dft_matrices(cfg: AudioConfig = AudioConfig()):
 # ---------------------------------------------------------------------------
 
 def pad_audio_offline(audio: np.ndarray, audio_cfg: AudioConfig = AudioConfig(),
-                      stream_cfg: StreamingConfig = StreamingConfig()) -> np.ndarray:
-    """Left pad 32 tokens of silence; right pad to 1280-alignment + 17 tokens."""
+                      stream_cfg: StreamingConfig = StreamingConfig(),
+                      delay_tokens: int | None = None) -> np.ndarray:
+    """Left pad 32 tokens of silence; right pad to 1280-alignment +
+    (delay + 1 + 10) tokens. The right pad follows the ACTIVE transcription
+    delay (voxtral.c:1645-1648) — a longer delay needs more drain padding;
+    defaults to the config's delay."""
     mult = audio_cfg.raw_audio_per_token
     n = len(audio)
     align = (mult - (n % mult)) % mult
-    right = align + stream_cfg.n_right_pad_tokens * mult
+    if delay_tokens is None:
+        delay_tokens = stream_cfg.delay_tokens
+    n_right = delay_tokens + 1 + stream_cfg.extra_right_pad_tokens
+    right = align + n_right * mult
     left = stream_cfg.n_left_pad_tokens * mult
     return np.pad(np.asarray(audio, dtype=np.float32), (left, right))
 

@@ -75,7 +75,8 @@ def transcribe_tokens_batch(params, cfg: VoxtralConfig, audio: np.ndarray,
     `generated` list."""
     if delay_tokens is None:
         delay_tokens = cfg.streaming.delay_tokens
-    padded = pad_audio_offline(audio, cfg.audio, cfg.streaming)
+    padded = pad_audio_offline(audio, cfg.audio, cfg.streaming,
+                               delay_tokens=delay_tokens)
     mel = batch_log_mel(padded, cfg.audio)
     if mel.shape[1] % 2:
         mel = mel[:, 1:]

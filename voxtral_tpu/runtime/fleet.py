@@ -88,19 +88,23 @@ def _batched_causal_conv(x, w, b, stride, discard):
     return jax.nn.gelu(y, approximate=False)[:, :, discard:]
 
 
+def _conv_stem_with_tails(cfg, enc_p, state: FleetState, mel):
+    """Tail-carried conv stem shared by every fleet entry point:
+    mel [B, mel_bins, T] -> (h [B, T/2, D], conv0 activations y)."""
+    x0 = jnp.concatenate([state.mel_tail, mel], axis=2)
+    y = _batched_causal_conv(x0, enc_p["conv0_w"], enc_p["conv0_b"], 1, 2)
+    x1 = jnp.concatenate([state.conv0_tail, y], axis=2)
+    c = _batched_causal_conv(x1, enc_p["conv1_w"], enc_p["conv1_b"], 2, 1)
+    return jnp.swapaxes(c, 1, 2).astype(cfg.compute_dtype), y
+
+
 def _fleet_step_inner(params, cfg: VoxtralConfig, state: FleetState,
                       mel: jax.Array, t_ada: jax.Array, *,
                       stop_at_eos: bool = False, collect_topk: int = 0):
     b, _, t = mel.shape
     assert t % 8 == 0, t
     enc_p = params["encoder"]
-
-    # conv stem with carried tails
-    x0 = jnp.concatenate([state.mel_tail, mel], axis=2)
-    y = _batched_causal_conv(x0, enc_p["conv0_w"], enc_p["conv0_b"], 1, 2)
-    x1 = jnp.concatenate([state.conv0_tail, y], axis=2)
-    c = _batched_causal_conv(x1, enc_p["conv1_w"], enc_p["conv1_b"], 2, 1)
-    h = jnp.swapaxes(c, 1, 2).astype(cfg.compute_dtype)      # [B, T/2, D]
+    h, y = _conv_stem_with_tails(cfg, enc_p, state, mel)     # [B, T/2, D]
 
     enc_state, enc_out = encoder_incremental(enc_p, cfg, state.encoder, h)
     frames = jax.vmap(lambda e: adapter_forward(params["adapter"], cfg, e))(
@@ -132,11 +136,7 @@ def _fleet_bootstrap_inner(params, cfg: VoxtralConfig, state: FleetState,
     lp = cfg.streaming.prompt_len
     assert t % 8 == 0 and t // 8 >= lp, (t, lp)
     enc_p = params["encoder"]
-    x0 = jnp.concatenate([state.mel_tail, mel], axis=2)
-    y = _batched_causal_conv(x0, enc_p["conv0_w"], enc_p["conv0_b"], 1, 2)
-    x1 = jnp.concatenate([state.conv0_tail, y], axis=2)
-    c = _batched_causal_conv(x1, enc_p["conv1_w"], enc_p["conv1_b"], 2, 1)
-    h = jnp.swapaxes(c, 1, 2).astype(cfg.compute_dtype)
+    h, y = _conv_stem_with_tails(cfg, enc_p, state, mel)
 
     enc_state, enc_out = encoder_incremental(enc_p, cfg, state.encoder, h)
     frames = jax.vmap(lambda e: adapter_forward(params["adapter"], cfg, e))(
@@ -306,11 +306,7 @@ def fleet_step_masked(params, cfg: VoxtralConfig, state: FleetState,
     pcm_tail = jnp.where(act_col, new_tail, state.pcm_tail)
 
     enc_p = params["encoder"]
-    x0 = jnp.concatenate([state.mel_tail, mel], axis=2)
-    y = _batched_causal_conv(x0, enc_p["conv0_w"], enc_p["conv0_b"], 1, 2)
-    x1 = jnp.concatenate([state.conv0_tail, y], axis=2)
-    c = _batched_causal_conv(x1, enc_p["conv1_w"], enc_p["conv1_b"], 2, 1)
-    h = jnp.swapaxes(c, 1, 2).astype(cfg.compute_dtype)
+    h, y = _conv_stem_with_tails(cfg, enc_p, state, mel)
     mel_tail = jnp.where(act_col[:, :, None], mel[:, :, -2:], state.mel_tail)
     conv0_tail = jnp.where(act_col[:, :, None], y[:, :, -2:],
                            state.conv0_tail)

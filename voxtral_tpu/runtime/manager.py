@@ -176,9 +176,9 @@ class FleetManager:
     def feed(self, sid: int, samples: np.ndarray):
         s = self.slots[sid]
         assert s.active and not s.finishing
-        s.buf = np.concatenate(
-            [s.buf, np.asarray(samples, np.float32).reshape(-1)])
-        s.samples_since_text += len(samples)
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        s.buf = np.concatenate([s.buf, samples])
+        s.samples_since_text += samples.size
 
     def finish(self, sid: int):
         """Append right padding + pad the final partial chunk; the slot
@@ -187,7 +187,9 @@ class FleetManager:
         if s.finishing:
             return
         mult = self.cfg.audio.raw_audio_per_token
-        n_right = self.cfg.streaming.n_right_pad_tokens
+        # right pad follows the manager's delay override, not the config
+        # default (voxtral.c:1645-1648 computes it from the live delay)
+        n_right = self.delay + 1 + self.cfg.streaming.extra_right_pad_tokens
         total = len(s.buf)
         align = (mult - (total % mult)) % mult
         pad = align + n_right * mult
@@ -314,6 +316,8 @@ class FleetManager:
         s.replay_left = self.prompt_len - 1
         s.pos = 0
         s.nontext_streak = 0
+        s.samples_since_text = 0     # restart the watchdog clock too
+        # (voxtral.c:1237) — else a silent stream full-restarts forever
         s.text_since_restart = False
         if full:
             s.empty_restarts = 0
@@ -323,7 +327,6 @@ class FleetManager:
     def _alts(self, best: int, vals, idxs, lse):
         """Alternatives within 1 - p_i/p_best <= cutoff (voxtral.c:955-1010),
         computed from the step's top-k logits + logsumexp."""
-        import math
         p = np.exp(vals.astype(np.float64) - float(lse))
         p0 = None
         out = []
@@ -391,7 +394,9 @@ class FleetManager:
         if no_text_s > MAX_NO_TEXT_SECONDS:
             restart = "full"
         if restart and not s.finishing:
-            self._restart(s, sid, full=(restart == "full"))
+            # triggers >= 2 (kv / streak / timeout) are FULL resets in the
+            # reference (voxtral.c:1210-1213); only EOS is decoder-only
+            self._restart(s, sid, full=(restart != "eos"))
             in_flight = False          # _restart un-stages the slot
         if s.finishing and len(s.buf) < self.chunk_samp and not in_flight:
             s.finished = True

@@ -239,7 +239,12 @@ class VoxStream:
             return
         mult = self.cfg.audio.raw_audio_per_token
         align = (mult - (self.real_samples_fed % mult)) % mult
-        right = align + self.cfg.streaming.n_right_pad_tokens * mult
+        # right pad follows the stream's LIVE delay (set_delay), not the
+        # config default — the reference computes it from ctx->delay_tokens
+        # (voxtral.c:1645-1648); a longer delay needs more drain padding
+        st = self.cfg.streaming
+        n_right = self.sc.delay_tokens + 1 + st.extra_right_pad_tokens
+        right = align + n_right * mult
         # fed directly to the mel context: flush padding is not "real" audio
         self.mel.feed(np.zeros(right, np.float32))
         saved = self.min_new_mel
