@@ -32,9 +32,9 @@ from voxtral_tpu.runtime.fleet import (
 from voxtral_tpu.weights import random_params_device
 
 BASELINE_AUDIO_S_PER_S = 2.5   # reference headline (README.md:328)
-# encoder ring: the 320-mel bootstrap chunk (39-token prompt) needs
-# window 750 + 160 encoder positions = 910 minimum
-ENC_RING = int(os.environ.get("VOX_BENCH_ENC_RING", "912"))
+# encoder ring: window 750 + 80 pending positions (the bootstrap runs in
+# pending-sized sub-chunks, so the ring no longer needs bootstrap headroom)
+ENC_RING = int(os.environ.get("VOX_BENCH_ENC_RING", "840"))
 
 
 def log(msg):
@@ -44,7 +44,7 @@ def log(msg):
 def bench_fleet(params, cfg, t_ada, batch, chunk_mel, enc_ring, dec_ring,
                 warmup=2, iters=8, kv_dtype="float"):
     state = init_fleet_state(cfg, batch=batch, enc_ring=enc_ring,
-                             dec_ring=dec_ring, max_mel_chunk=320,
+                             dec_ring=dec_ring, max_mel_chunk=chunk_mel,
                              kv_dtype=kv_dtype)
     rng = np.random.RandomState(0)
     hop = cfg.audio.hop_length
@@ -88,7 +88,7 @@ def bench_steady(params, cfg, t_ada, batch, chunk_mel, enc_ring, dec_ring,
     of 5-89 s clips); at steady state the prefix-bucketed attention reads
     the whole ring, ~3.6 GB/token-step of extra HBM traffic at B=32."""
     state = init_fleet_state(cfg, batch=batch, enc_ring=enc_ring,
-                             dec_ring=dec_ring, max_mel_chunk=320,
+                             dec_ring=dec_ring, max_mel_chunk=chunk_mel,
                              kv_dtype=kv_dtype)
     state = age_fleet_state(cfg, state, 4096)
     rng = np.random.RandomState(2)
@@ -114,7 +114,7 @@ def bench_latency(params, cfg, t_ada, enc_ring, dec_ring, chunk_mel=48,
     streaming token latency (all of a chunk's tokens emerge at step end).
     Returns p50/p95 over `iters` feeds."""
     state = init_fleet_state(cfg, batch=1, enc_ring=enc_ring,
-                             dec_ring=dec_ring, max_mel_chunk=320,
+                             dec_ring=dec_ring, max_mel_chunk=160,
                              kv_dtype=kv_dtype)
     rng = np.random.RandomState(1)
     hop = cfg.audio.hop_length

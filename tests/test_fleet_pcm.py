@@ -84,3 +84,40 @@ def test_fleet_pcm_tokens_match_host_mel(tiny_cfg, tiny_params):
     assert t_pcm.shape == t_mel.shape
     agree = (t_pcm == t_mel).mean()
     assert agree >= 0.98, (agree, t_pcm, t_mel)
+
+
+def test_fleet_split_bootstrap_matches_batch_pipeline(tiny_cfg, tiny_params):
+    """The bootstrap runs its encoder pass in pending-capacity sub-chunks
+    (fleet.py) — with max_mel_chunk=160 the 320-mel bootstrap must split
+    into two sub-chunks and still reproduce the batch pipeline's greedy
+    tokens exactly."""
+    from voxtral_tpu.models.pipeline import transcribe_tokens_batch
+    rng = np.random.RandomState(8)
+    audio = (rng.randn(3 * 16000) * 0.3).astype(np.float32)
+    want = [int(t) for t in
+            transcribe_tokens_batch(tiny_params, tiny_cfg, audio)[0]]
+    assert len(want) > 10
+
+    padded = pad_audio_offline(audio, tiny_cfg.audio, tiny_cfg.streaming)
+    stream = pcm_stream(padded, tiny_cfg)
+    t_ada = ada_scales(tiny_params["decoder"],
+                       time_conditioning(tiny_cfg.streaming.delay_tokens,
+                                         tiny_cfg.decoder.dim))
+    hop = tiny_cfg.audio.hop_length
+    T0, T = 320, 160
+    state = init_fleet_state(tiny_cfg, batch=1, enc_ring=256, dec_ring=128,
+                             max_mel_chunk=T)     # pending 80 < bootstrap 160
+    assert state.encoder.pending_sp.shape[1] < T0 // 2   # split is exercised
+    state, t, _ = fleet_bootstrap_pcm(
+        tiny_params, tiny_cfg, state, jnp.asarray(stream[None, :T0 * hop]),
+        t_ada)
+    out = [int(x) for x in np.asarray(t)[0] if x >= 0]
+    pos = T0 * hop
+    while pos + T * hop <= len(stream):
+        state, t, _ = fleet_step_pcm(
+            tiny_params, tiny_cfg, state,
+            jnp.asarray(stream[None, pos:pos + T * hop].copy()), t_ada)
+        out += [int(x) for x in np.asarray(t)[0] if x >= 0]
+        pos += T * hop
+    assert out == want[:len(out)]
+    assert len(out) >= len(want) - T // 8      # tail loses < one chunk

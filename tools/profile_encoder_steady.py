@@ -37,12 +37,14 @@ RING = int(os.environ.get("VOX_PROF_ENC_RING", "912"))
 cfg = voxtral_4b(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
 e = cfg.encoder
 params = quantize_params(random_params_device(cfg, seed=0))
-enc_p = params["encoder"]
+enc_p_dev = params["encoder"]   # passed as a jit ARG: closed-over
+# device arrays are baked into the HLO as constants and the multi-GB
+# request body kills the remote-compile endpoint (see profile_phases.py)
 rng = np.random.RandomState(0)
 SLOT_INVALID = -(1 << 30)
 
 
-def enc_step(state, h_chunk, *, attn=True, fold=True, pending=True):
+def enc_step(state, enc_p, h_chunk, *, attn=True, fold=True, pending=True):
     """Inlined encoder_incremental (models/encoder.py:160-262) with stubs."""
     b, s, _ = h_chunk.shape
     sp_cap = state.pending_sp.shape[1]
@@ -59,9 +61,27 @@ def enc_step(state, h_chunk, *, attn=True, fold=True, pending=True):
         def do_fold(ring_t, pend_t, scale_t):
             rings, scales = [], []
             for r, p, sc in zip(ring_t, pend_t, scale_t):
-                qv, qs = quantize_kv(p, e.heads, e.head_dim)
-                rings.append(jax.lax.dynamic_update_slice(r, qv, (0, slot0, 0)))
-                scales.append(jax.lax.dynamic_update_slice(sc, qs, (0, 0, slot0)))
+                if fold == "noquant":
+                    # DUS cost only: cast without amax/divide/round; no
+                    # scale write (isolates the quantize math)
+                    qv = jax.lax.convert_element_type(p, jnp.int8)
+                    qs = None
+                else:
+                    qv, qs = quantize_kv(p, e.heads, e.head_dim)
+                if qs is None or fold == "noscale":
+                    scales.append(sc)
+                else:
+                    scales.append(
+                        jax.lax.dynamic_update_slice(sc, qs, (0, 0, slot0)))
+                if fold == "noring":
+                    # keep ALL of qv live via a reduce so the quantize math
+                    # isn't DCE'd with the dropped ring write (the sum adds
+                    # a little VPU time of its own)
+                    chk = jnp.sum(qv.astype(jnp.int32)).astype(r.dtype)
+                    rings.append(r.at[0, 0, 0].add(chk))
+                else:
+                    rings.append(
+                        jax.lax.dynamic_update_slice(r, qv, (0, slot0, 0)))
             return tuple(rings), tuple(scales)
         krs, kss = do_fold(state.k_ring, state.pending_k, state.k_scale)
         vrs, vss = do_fold(state.v_ring, state.pending_v, state.v_scale)
@@ -95,7 +115,7 @@ def enc_step(state, h_chunk, *, attn=True, fold=True, pending=True):
                 head_dim=e.head_dim, k_scale=kss[l], v_scale=vss[l],
                 extra_kv=(kd, vd, chunk_pos), n_valid_slots=nv_slots)
         else:
-            a = x * 0.9
+            a = q * 0.9            # [b, s, heads, hd] -> attn_dim reshape ok
         h = h + linear(a.reshape(b, s, e.attn_dim), lp["wo"], lp["wo_b"])
         x = rms_norm(h, lp["ffn_norm"], e.norm_eps)
         ffn = linear(jax.nn.silu(linear(x, lp["w1"])) * linear(x, lp["w3"]),
@@ -145,11 +165,11 @@ h = jnp.asarray((rng.rand(B, S, e.dim) - 0.5).astype(np.float32) * 0.1,
 def run(name, **stubs):
     f = jax.jit(partial(enc_step, **stubs), donate_argnums=0)
     st = aged()
-    st, out = f(st, h)
+    st, out = f(st, enc_p_dev, h)
     np.asarray(jax.device_get(out.ravel()[:1]))
     t0 = time.perf_counter()
     for _ in range(10):
-        st, out = f(st, h)
+        st, out = f(st, enc_p_dev, h)
     np.asarray(jax.device_get(out.ravel()[:1]))
     ms = (time.perf_counter() - t0) / 10 * 1e3
     print(f"{name:24s} {ms:8.2f} ms", file=sys.stderr)
@@ -162,6 +182,9 @@ print(f"config: B={B} S={S} ring {RING} int8 KV, aged (ring full)",
 t_full = run("full")
 t_na = run("no-attn", attn=False)
 t_nf = run("no-fold", fold=False)
+t_nq = run("fold-noquant (DUS only)", fold="noquant")
+t_nr = run("fold-noring (quant only)", fold="noring")
+t_ns = run("fold-noscale", fold="noscale")
 t_np = run("no-pending", pending=False)
 print(f"\nattention {t_full - t_na:.1f} ms | fold {t_full - t_nf:.1f} ms | "
       f"pending-rebuild {t_full - t_np:.1f} ms | "

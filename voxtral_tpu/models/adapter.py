@@ -8,7 +8,6 @@ two projections, no output normalization.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from voxtral_tpu.config import VoxtralConfig
 from voxtral_tpu.ops.linear import linear

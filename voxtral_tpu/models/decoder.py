@@ -63,9 +63,7 @@ import jax.numpy as jnp
 
 from voxtral_tpu.config import VoxtralConfig
 from voxtral_tpu.ops import apply_rope, rms_norm, rope_angles
-from voxtral_tpu.ops.attention import (
-    ring_decode_attention, windowed_attention,
-)
+from voxtral_tpu.ops.attention import windowed_attention
 from voxtral_tpu.ops.linear import embed_logits, embed_lookup, linear
 from voxtral_tpu.ops.pallas_attention import ring_attention
 from voxtral_tpu.quant import Quantized, dequantize, quantize_kv
@@ -246,6 +244,7 @@ def decoder_prefill(dec_params: dict, cfg: VoxtralConfig, state: DecodeState,
     """
     d = cfg.decoder
     b, s, _ = embeds.shape
+    n_valid_given = n_valid is not None
     if n_valid is None:
         n_valid = jnp.full((b,), s, jnp.int32)
     positions = jnp.arange(s, dtype=jnp.int32)
@@ -276,6 +275,13 @@ def decoder_prefill(dec_params: dict, cfg: VoxtralConfig, state: DecodeState,
                         positions[None, :], SLOT_INVALID).astype(jnp.int32)
     np_ = state.pending_sp.shape[1]
     ring = state.k_ring[0].shape[1] - np_   # logical ring (cursor modulus)
+    if s > ring and n_valid_given:
+        # the eviction below keeps the last `ring` ROWS; with bucket padding
+        # (n_valid < s) those could be invalid rows while valid in-window
+        # positions get dropped — unsupported, fail loud
+        raise ValueError(
+            f"prefill longer than the ring ({s} > {ring}) cannot carry "
+            "per-stream n_valid padding")
     if s > ring:
         # Only the last `ring` positions survive; slot j holds position
         # p ≡ j (mod ring), i.e. the kept rows rolled by the static s % ring.

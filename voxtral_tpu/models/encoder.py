@@ -20,10 +20,8 @@ import jax.numpy as jnp
 
 from voxtral_tpu.config import VoxtralConfig
 from voxtral_tpu.ops import (
-    apply_rope, causal_conv1d, ring_decode_attention, rms_norm, rope_angles,
-    windowed_attention,
+    apply_rope, causal_conv1d, rms_norm, rope_angles, windowed_attention,
 )
-from voxtral_tpu.ops.attention import ring_slot_positions
 from voxtral_tpu.ops.linear import linear
 from voxtral_tpu.ops.pallas_attention import ring_attention
 from voxtral_tpu.quant import quantize_kv
@@ -67,9 +65,8 @@ def encoder_forward(enc_params: dict, cfg: VoxtralConfig, h: jax.Array,
         attn = windowed_attention(q, k, v, window=e.window)
         h = h + linear(attn.reshape(s, e.attn_dim), lp["wo"], lp["wo_b"])
         x = rms_norm(h, lp["ffn_norm"], e.norm_eps)
-        ffn = linear(jax.nn.silu(linear(x, lp["w1"])) * linear(x, lp["w3"]),
-                     lp["w2"])
-        h = h + ffn + lp["w2_b"].astype(h.dtype)
+        h = h + linear(jax.nn.silu(linear(x, lp["w1"])) * linear(x, lp["w3"]),
+                       lp["w2"], lp["w2_b"])
     return rms_norm(h, enc_params["norm"], e.norm_eps)
 
 
@@ -236,9 +233,8 @@ def encoder_incremental(enc_params: dict, cfg: VoxtralConfig,
             n_valid_slots=nv_slots)
         h = h + linear(attn.reshape(b, s, e.attn_dim), lp["wo"], lp["wo_b"])
         x = rms_norm(h, lp["ffn_norm"], e.norm_eps)
-        ffn = linear(jax.nn.silu(linear(x, lp["w1"])) * linear(x, lp["w3"]),
-                     lp["w2"])
-        h = h + ffn + lp["w2_b"].astype(h.dtype)
+        h = h + linear(jax.nn.silu(linear(x, lp["w1"])) * linear(x, lp["w3"]),
+                       lp["w2"], lp["w2_b"])
     out = rms_norm(h, enc_params["norm"], e.norm_eps)
 
     if s < sp_cap:
@@ -256,7 +252,7 @@ def encoder_incremental(enc_params: dict, cfg: VoxtralConfig,
     new_state = EncoderState(
         k_ring=krs, v_ring=vrs, k_scale=kss, v_scale=vss, slot_pos=rsp,
         pending_k=pk, pending_v=pv, pending_sp=psp,
-        pending_adv=jnp.max(n_valid).astype(jnp.int32),
+        pending_adv=jnp.max(jnp.minimum(n_valid, s)).astype(jnp.int32),
         write_ctr=base,
-        next_pos=state.next_pos + n_valid)
+        next_pos=state.next_pos + jnp.minimum(n_valid, s))
     return new_state, out

@@ -368,6 +368,11 @@ def ring_attention(q, k_ring, v_ring, slot_pos, q_pos, *,
     on_tpu = jax.default_backend() == "tpu"
     use_pallas = force_pallas if force_pallas is not None \
         else (on_tpu or k_scale is not None)
+    if k_scale is not None and not use_pallas:
+        # the oracle has no scale support — silently attending over raw
+        # int8 codes would be numerically wrong but shape-correct
+        raise ValueError("int8 rings (k_scale/v_scale) require the fused "
+                         "kernel; cannot run with force_pallas=False")
     xk = xv = xp = None
     if extra_kv is not None:
         xk, xv, xp = extra_kv

@@ -138,7 +138,19 @@ def _fleet_bootstrap_inner(params, cfg: VoxtralConfig, state: FleetState,
     enc_p = params["encoder"]
     h, y = _conv_stem_with_tails(cfg, enc_p, state, mel)
 
-    enc_state, enc_out = encoder_incremental(enc_p, cfg, state.encoder, h)
+    # The bootstrap chunk (>= 39-token prompt = 312 mel) is bigger than a
+    # steady-state chunk; run the encoder in pending-capacity-sized
+    # sub-chunks INSIDE this program so the pending block (and with it the
+    # per-chunk quantize+fold cost and the ring size) stays sized for the
+    # steady chunk, not for the bootstrap (the fold was measured at ~44% of
+    # the encoder chunk cost at pending 160 — see SPEED.md).
+    sp_cap = state.encoder.pending_sp.shape[1]
+    enc_state, outs = state.encoder, []
+    for s0 in range(0, h.shape[1], sp_cap):
+        enc_state, o = encoder_incremental(enc_p, cfg, enc_state,
+                                           h[:, s0:s0 + sp_cap])
+        outs.append(o)
+    enc_out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
     frames = jax.vmap(lambda e: adapter_forward(params["adapter"], cfg, e))(
         enc_out)
     st = cfg.streaming
