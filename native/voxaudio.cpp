@@ -120,10 +120,13 @@ void voxmel_free(void* h) { delete static_cast<MelCtx*>(h); }
 int64_t voxmel_feed(void* h, const float* s, int64_t n) {
     MelCtx* c = static_cast<MelCtx*>(h);
     if (c->finished || n < 0) return -1;
+    const int64_t before = c->n_frames();
     c->samples.insert(c->samples.end(), s, s + n);
     c->n_total += n;
     c->compute_available();
-    return c->n_frames();
+    // NEW frames this feed (the python MelStream.feed contract; the total
+    // buffered count is voxmel_n_frames)
+    return c->n_frames() - before;
 }
 
 int64_t voxmel_finish(void* h) {

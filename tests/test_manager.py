@@ -269,3 +269,30 @@ def test_meshed_manager_matches_single_device(tiny_cfg, tiny_params):
         got = _serve(mgr, {s0: a0, s1: a1})
     assert got[s0] == want[r0]
     assert got[s1] == want[r1]
+
+
+def test_meshed_manager_q8_params(tiny_cfg, tiny_params):
+    """Q8 (Quantized) param trees must shard under a TP mesh: the scale
+    vector rides the same mesh axis as the axis it scales (shard_tree)."""
+    import copy
+
+    import jax
+    from voxtral_tpu.parallel.sharding import make_mesh
+    from voxtral_tpu.quant import quantize_params
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    if tiny_cfg.decoder.kv_heads % 2 or tiny_cfg.encoder.heads % 2:
+        pytest.skip("tiny config heads not 2-divisible")
+    audio = _audio(15, seconds=2.0)
+    qp_ref = quantize_params(copy.deepcopy(tiny_params))
+    ref = FleetManager(qp_ref, tiny_cfg, batch=1, chunk_tokens=8,
+                       dec_ring=256, continuous=True, kv_dtype="int8")
+    want = _serve(ref, {ref.attach(): audio})[0]
+
+    qp = quantize_params(copy.deepcopy(tiny_params))
+    with FleetManager(qp, tiny_cfg, batch=2, chunk_tokens=8, dec_ring=256,
+                      continuous=True, kv_dtype="int8",
+                      mesh=make_mesh(2, 2)) as mgr:
+        sid = mgr.attach()
+        got = _serve(mgr, {sid: audio})[sid]
+    assert got == want

@@ -59,3 +59,23 @@ def test_native_resampler_matches_python():
         b = resample_linear_native(s, rate, 16000)
         assert a.shape == b.shape
         np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+
+
+def test_native_feed_return_matches_python():
+    """feed() returns the number of NEW frames on both backends (the
+    module's API-identical contract — the C++ side used to return the
+    total buffered count)."""
+    import numpy as np
+
+    from voxtral_tpu.audio.mel import MelStream
+    from voxtral_tpu.audio.native import NativeMelStream, native_available
+    if not native_available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(0)
+    a = MelStream(left_pad_samples=1280)
+    b = NativeMelStream(left_pad_samples=1280)
+    for n in (100, 3000, 7, 4096, 1600):
+        chunk = rng.randn(n).astype(np.float32) * 0.1
+        assert a.feed(chunk) == b.feed(chunk)
+    assert a.finish() == b.finish()

@@ -20,6 +20,8 @@ variant used by the incremental `MelStream`.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from voxtral_tpu.config import AudioConfig, StreamingConfig
@@ -55,6 +57,7 @@ def _mel_to_hertz(mels):
     return freq
 
 
+@functools.lru_cache(maxsize=8)
 def mel_filters(cfg: AudioConfig = AudioConfig()) -> np.ndarray:
     """Returns [freq_bins, mel_bins] float32 Slaney filter bank."""
     n_freq = cfg.freq_bins
@@ -73,11 +76,13 @@ def mel_filters(cfg: AudioConfig = AudioConfig()) -> np.ndarray:
     return fb.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=8)
 def hann_window(n: int) -> np.ndarray:
     """Periodic Hann window (torch.hann_window default)."""
     return (0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(n) / n))).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=8)
 def dft_matrices(cfg: AudioConfig = AudioConfig()):
     """Real/imag DFT matrices [window, freq_bins] (f32), windowed framing ready."""
     n = cfg.window_size

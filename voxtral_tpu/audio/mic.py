@@ -20,16 +20,19 @@ import numpy as np
 RATE = 16000
 
 
-def _capture_cmd(rate: int):
+def _capture_cmds(rate: int):
+    """Candidate capture commands, tried in order (a backend binary may
+    exist but have no usable device — start() health-checks each)."""
+    out = []
     if shutil.which("arecord"):
-        return ["arecord", "-q", "-f", "S16_LE", "-r", str(rate), "-c", "1",
-                "-t", "raw"]
+        out.append(["arecord", "-q", "-f", "S16_LE", "-r", str(rate),
+                    "-c", "1", "-t", "raw"])
     if shutil.which("ffmpeg"):
         for dev in (["-f", "pulse", "-i", "default"],
                     ["-f", "alsa", "-i", "default"]):
-            return (["ffmpeg", "-loglevel", "quiet"] + dev +
-                    ["-f", "s16le", "-ar", str(rate), "-ac", "1", "-"])
-    return None
+            out.append(["ffmpeg", "-loglevel", "quiet"] + dev +
+                       ["-f", "s16le", "-ar", str(rate), "-ac", "1", "-"])
+    return out
 
 
 class MicSource:
@@ -41,14 +44,26 @@ class MicSource:
         self.proc = None
 
     def start(self):
-        cmd = _capture_cmd(self.rate)
-        if cmd is None:
+        import time
+        cmds = _capture_cmds(self.rate)
+        if not cmds:
             raise RuntimeError(
                 "no microphone backend (need `arecord` or `ffmpeg`)")
-        self.proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
-                                     stderr=subprocess.DEVNULL)
-        os.set_blocking(self.proc.stdout.fileno(), False)
-        self._pending = b""
+        for cmd in cmds:
+            proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                    stderr=subprocess.DEVNULL)
+            # health check: a backend with no capture device exits at once
+            # (the reference's vox_mic_start returns -1 there)
+            time.sleep(0.25)
+            if proc.poll() is None:
+                self.proc = proc
+                os.set_blocking(self.proc.stdout.fileno(), False)
+                self._pending = b""
+                return
+            proc.wait()
+        raise RuntimeError(
+            "all microphone backends exited immediately "
+            f"(tried: {', '.join(c[0] for c in cmds)})")
 
     def read(self) -> np.ndarray:
         if self.proc is None:
@@ -59,6 +74,9 @@ class MicSource:
             data = None
         if data:
             self._pending += data
+        elif self.proc.poll() is not None and not self._pending:
+            raise RuntimeError(
+                f"capture process exited (code {self.proc.returncode})")
         n = len(self._pending) // 2
         if n == 0:
             return np.zeros(0, np.float32)
@@ -97,6 +115,10 @@ def mic_loop(stream, drain, rate: int = RATE, *,
             if buf.size > over_buffer_s * rate:
                 log(f"over-buffer: skipping {buf.size/rate - 1.0:.1f}s")
                 buf = buf[-rate:]
+                # discarded audio must not drive the silence gate
+                # (main.c:247-249 zeroes silence_count after catch-up)
+                silent_for = 0.0
+                flushed = False
             take = (buf.size // win) * win
             if take == 0:
                 drain(stream)
@@ -109,15 +131,22 @@ def mic_loop(stream, drain, rate: int = RATE, *,
                 if rms >= silence_rms:
                     silent_for = 0.0
                     flushed = False
+                    stream.feed(w)
                 else:
                     silent_for += win / rate
-                stream.feed(w)
+                    # pass silence through only up to the flush threshold;
+                    # a long silent stretch is NOT fed (main.c:268-292 —
+                    # the engine would otherwise keep stepping on silence)
+                    if silent_for < silence_flush_s:
+                        stream.feed(w)
             if silent_for >= silence_flush_s and not flushed:
                 stream.flush()
                 flushed = True
             drain(stream)
     except KeyboardInterrupt:
         pass
+    except RuntimeError as e:
+        log(f"mic: {e}")
     finally:
         mic.stop()
         stream.finish()

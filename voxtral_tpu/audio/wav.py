@@ -27,6 +27,8 @@ def parse_wav_bytes(data: bytes):
         if size == 0xFFFFFFFF or body + size > len(data):
             size = len(data) - body           # streaming writers lie about size
         if cid == b"fmt ":
+            if body + 16 > len(data):
+                raise ValueError("truncated fmt chunk")
             audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", data, body)
             fmt = (audio_fmt, channels, rate, bits)

@@ -155,13 +155,17 @@ def run_stdin(args, params, cfg, tokenizer):
     stdin = sys.stdin.buffer
     first = stdin.read(4)
     if first == b"RIFF":
-        # skip WAV header: read until "data" chunk id (main.c:304-340)
-        hdr = first + stdin.read(8)
+        # skip WAV header: read until "data" chunk id (main.c:304-340);
+        # a header truncated mid-walk is a hard error (the audio bytes
+        # never arrive), reported instead of a silent exit / struct.error
+        stdin.read(8)
         while True:
             cid = stdin.read(4)
-            if len(cid) < 4:
+            sz = stdin.read(4)
+            if len(cid) < 4 or len(sz) < 4:
+                log(args, 1, "stdin: truncated WAV header, no data chunk")
                 return
-            (size,) = struct.unpack("<I", stdin.read(4))
+            (size,) = struct.unpack("<I", sz)
             if cid == b"data":
                 break
             stdin.read(size + (size & 1))

@@ -155,9 +155,26 @@ def fleet_state_pspecs(cfg: VoxtralConfig,
 def shard_tree(tree, pspecs, mesh: Mesh):
     # PartitionSpec is tuple-like, so turn specs into NamedSharding leaves
     # first, then zip with the value tree.
+    from voxtral_tpu.quant import Quantized
     shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
                              is_leaf=lambda x: isinstance(x, P))
-    return jax.tree.map(jax.device_put, tree, shardings)
+
+    def put(x, ns):
+        if isinstance(x, Quantized):
+            # a Quantized weight carries its per-out scale vector: shard it
+            # along the same mesh axis as the axis it scales — axis 0 for
+            # the embed (quantize_params q_leaf(0)), else the last axis;
+            # square weights default to the layer convention (-1)
+            spec = ns.spec
+            ax = 0 if (x.s.shape[0] == x.q.shape[0]
+                       and x.s.shape[0] != x.q.shape[-1]) else -1
+            s_ns = NamedSharding(mesh, P(spec[ax]))
+            return Quantized(q=jax.device_put(x.q, ns),
+                             s=jax.device_put(x.s, s_ns))
+        return jax.device_put(x, ns)
+
+    return jax.tree.map(put, tree, shardings,
+                        is_leaf=lambda x: isinstance(x, Quantized))
 
 
 def shard_params(params: dict, cfg: VoxtralConfig, mesh: Mesh) -> dict:

@@ -83,6 +83,9 @@ class _Slot:
     # padding and is dropped (exact parity with the batch pipeline's
     # right-pad schedule)
     token_limit: int = None
+    # incremental UTF-8 piece decoder (tokenizer.StreamDecoder) — None
+    # when the manager has no tokenizer
+    sdec: object = None
     # stats
     generated: int = 0
     text_tokens: int = 0
@@ -166,7 +169,8 @@ class FleetManager:
             raise RuntimeError("fleet full")
         self.slots[sid] = _Slot(
             active=True, buf=np.zeros(self.left_pad, np.float32), queue=[],
-            replay_left=self.prompt_len - 1, all_ids=[])
+            replay_left=self.prompt_len - 1, all_ids=[],
+            sdec=self.tok.stream_decoder() if self.tok else None)
         self._reset_device(sid, full=True)
         return sid
 
@@ -316,6 +320,8 @@ class FleetManager:
         s.replay_left = self.prompt_len - 1
         s.pos = 0
         s.nontext_streak = 0
+        if s.sdec is not None:       # drop any dangling partial character
+            s.sdec = self.tok.stream_decoder()
         s.samples_since_text = 0     # restart the watchdog clock too
         # (voxtral.c:1237) — else a silent stream full-restarts forever
         s.text_since_restart = False
@@ -366,7 +372,7 @@ class FleetManager:
                 restart = restart or "eos"
                 s.nontext_streak += 1
             elif t >= n_special:
-                piece = self.tok.decode([t]) if self.tok else None
+                piece = s.sdec.piece(t) if s.sdec else None
                 if alt_info is not None:
                     s.queue.append((t, piece, self._alts(
                         t, alt_info[0][i], alt_info[1][i], alt_info[2][i])))
@@ -384,7 +390,7 @@ class FleetManager:
                      and sid in self._staged_next.raw)
         if not self.continuous:
             if s.finishing and len(s.buf) < self.chunk_samp and not in_flight:
-                s.finished = True
+                self._finish_slot(s)
             return
         if s.pos > MAX_DECODE_KV:
             restart = restart or "kv"
@@ -399,7 +405,14 @@ class FleetManager:
             self._restart(s, sid, full=(restart != "eos"))
             in_flight = False          # _restart un-stages the slot
         if s.finishing and len(s.buf) < self.chunk_samp and not in_flight:
-            s.finished = True
+            self._finish_slot(s)
+
+    def _finish_slot(self, s: _Slot):
+        s.finished = True
+        if s.sdec is not None:
+            rem = s.sdec.flush()       # stream ended mid-character
+            if rem:
+                s.queue.append((-1, rem))
 
     def stats(self) -> dict:
         from voxtral_tpu.utils import device_memory_gb

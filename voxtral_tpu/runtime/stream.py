@@ -122,6 +122,9 @@ class VoxStream:
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer
+        # incremental UTF-8 piece decoder: a character split across tokens
+        # concatenates correctly (see tokenizer.StreamDecoder)
+        self._sdec = tokenizer.stream_decoder() if tokenizer else None
         self.sc = stream_cfg or StreamConfig()
         sc = self.sc
         st = cfg.streaming
@@ -193,6 +196,8 @@ class VoxStream:
         self.kv_len = 0
         self.nontext_streak = 0
         self.text_since_restart = False
+        if self.tok is not None:   # drop any dangling partial character
+            self._sdec = self.tok.stream_decoder()
 
     def _reset_full(self):
         """Full stream reset (voxtral.c:797-824): mel/conv/encoder/decoder."""
@@ -264,6 +269,13 @@ class VoxStream:
         self._run_encoder()
         self._run_decoder()
         self.min_new_mel = saved
+        if self._sdec is not None:
+            rem = self._sdec.flush()   # stream ended mid-character
+            if rem and self.queue:
+                tid, piece, alts = self.queue[-1]
+                self.queue[-1] = (tid, piece + rem, alts)
+            elif rem:
+                self.queue.append((-1, rem, []))
 
     def get(self, max_tokens: int = 1 << 30) -> list[str]:
         """Drain best-token pieces (text tokens only, like vox_stream_get)."""
@@ -469,14 +481,13 @@ class VoxStream:
         if token_id < st.n_special:
             return "control"
         if self.tok is not None:
-            piece = self.tok.decode_piece(token_id)
-            return "text" if piece else "invalid"
+            return "text" if self.tok.token_bytes(token_id) else "invalid"
         return "text"
 
     def _emit(self, token_id: int, topk_vals, topk_idx):
         cls = self._classify(token_id)
         if cls == "text":
-            piece = (self.tok.decode_piece(token_id) if self.tok
+            piece = (self._sdec.piece(token_id) if self.tok
                      else f"<{token_id}>")
             alts = []
             if topk_vals is not None and self.sc.n_alt > 1:

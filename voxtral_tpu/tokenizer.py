@@ -10,7 +10,32 @@ concatenated at the byte level before decoding.
 from __future__ import annotations
 
 import base64
+import codecs
 import json
+
+
+class StreamDecoder:
+    """Incremental UTF-8 token-piece decoder for the streaming path.
+
+    Byte-level BPE routinely splits a multi-byte UTF-8 character across
+    tokens; decoding each piece independently would emit U+FFFD for both
+    halves. This keeps the partial bytes buffered (codecs incremental
+    decoder), so piece(a) + piece(b) concatenate to the correct character —
+    the same result as the reference CLI writing raw token bytes to stdout
+    (main.c:49-105, byte-level concatenation happens in the terminal)."""
+
+    def __init__(self, tok: "Tokenizer"):
+        self._tok = tok
+        self._dec = codecs.getincrementaldecoder("utf-8")(errors="replace")
+
+    def piece(self, token_id: int) -> str:
+        """Text completed by this token (may be "" while a character is
+        still partial; the remainder arrives with the next token)."""
+        return self._dec.decode(self._tok.token_bytes(token_id))
+
+    def flush(self) -> str:
+        """Drain any dangling partial character (end of stream)."""
+        return self._dec.decode(b"", final=True)
 
 
 class Tokenizer:
@@ -44,8 +69,14 @@ class Tokenizer:
         return b
 
     def decode_piece(self, token_id: int) -> str:
-        """Single-token decode with lossy UTF-8 (streaming display use)."""
+        """Single-token decode with lossy UTF-8. For STREAMS use
+        stream_decoder() instead — a character split across two tokens
+        decodes to U+FFFD here."""
         return self.token_bytes(token_id).decode("utf-8", errors="replace")
+
+    def stream_decoder(self) -> StreamDecoder:
+        """Per-stream incremental decoder (UTF-8-correct across tokens)."""
+        return StreamDecoder(self)
 
     def decode(self, token_ids) -> str:
         out = bytearray()
