@@ -33,6 +33,7 @@ from voxtral_tpu.weights import random_params_device
 B = int(os.environ.get("VOX_PROF_STREAMS", "32"))
 S = int(os.environ.get("VOX_PROF_CHUNK", "80"))
 RING = int(os.environ.get("VOX_PROF_ENC_RING", "912"))
+PEND = int(os.environ.get("VOX_PROF_PENDING", "160"))
 
 cfg = voxtral_4b(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
 e = cfg.encoder
@@ -143,7 +144,7 @@ def enc_step(state, enc_p, h_chunk, *, attn=True, fold=True, pending=True):
 
 
 def aged():
-    st = init_encoder_state(cfg, ring_size=RING, batch=B, pending_size=160,
+    st = init_encoder_state(cfg, ring_size=RING, batch=B, pending_size=PEND,
                             kv_dtype="int8")
     phys = st.slot_pos.shape[1]
     np_ = st.pending_sp.shape[1]
