@@ -87,6 +87,12 @@ def main(argv=None):
         tiny=args.tiny, parity=False, verbosity=1)
     params, cfg, tokenizer = vcli.build(cargs)
 
+    # untimed warmup: the streaming engine JIT-compiles one program per
+    # shape bucket on first use — the reference's C binary has no such
+    # cost, so a timed cold run would compare compiles against its RTF
+    print("warmup (compiling shape buckets)...", file=sys.stderr)
+    run_clip(params, cfg, tokenizer, clips[0], args.interval, {})
+
     results = []
     for rep in range(args.repeats):
         for clip in clips:

@@ -254,6 +254,11 @@ def ring_gqa_attention(q, k_ring, v_ring, slot_pos, q_pos, *,
         out_specs=pl.BlockSpec((1, s, qlanes), lambda i, n: (i, 0, n),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, s, qd), q.dtype),
+        # the default 16 MB scoped-VMEM cap rejects bf16 rings at the
+        # larger chunk buckets (e.g. VoxStream S=128, ring 1408: ~17.6 MB);
+        # v5e has 128 MB and bigger blocks measured no slower (SPEED.md)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
 
