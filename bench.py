@@ -146,7 +146,10 @@ def main():
     log("initializing 4B random params on device (bf16)...")
     t0 = time.perf_counter()
     params = random_params_device(cfg, seed=0)
-    jax.block_until_ready(params)
+    # forced host transfer, not block_until_ready: an async device OOM here
+    # would otherwise be swallowed and misattributed to bootstrap (CLAUDE.md)
+    np.asarray(jax.device_get(
+        jax.tree_util.tree_leaves(params)[0].ravel()[:1]))
     log(f"  params ready in {time.perf_counter() - t0:.1f}s")
     t_ada = ada_scales(params["decoder"],
                        time_conditioning(cfg.streaming.delay_tokens,
@@ -157,7 +160,8 @@ def main():
         from voxtral_tpu.quant import quantize_params
         t0 = time.perf_counter()
         params = quantize_params(params)
-        jax.block_until_ready(params)
+        np.asarray(jax.device_get(
+            jax.tree_util.tree_leaves(params)[0].ravel()[:1]))
         log(f"  quantized to Q8 (int8 + per-row scales) in "
             f"{time.perf_counter() - t0:.1f}s")
 
@@ -210,6 +214,11 @@ def main():
             "stream_latency_p50_ms": round(lat["p50_ms"], 1),
             "stream_latency_p95_ms": round(lat["p95_ms"], 1),
             "streams": batch,
+            # live-mode context cap: the fleet mirrors the reference's
+            # STREAM_MAX_DECODE_KV=2000 live cap (voxtral.c:412), NOT the
+            # offline 8192 window (VoxStream/batch pipeline keep the full
+            # window); steady-state numbers are at this ring size
+            "dec_ring": 2048,
         },
     }))
 

@@ -137,7 +137,11 @@ int64_t voxmel_finish(void* h) {
     const size_t end = c->samples.size();
     std::vector<float> tail((size_t)half);
     for (int i = 0; i < half; ++i)
-        tail[(size_t)i] = c->samples[end - 2 - (size_t)i];
+        // guard the size_t underflow when the buffer is shorter than the
+        // reflection span (reachable only with left_pad_samples ~ 0;
+        // reflect-of-nothing is silence)
+        tail[(size_t)i] = (end >= (size_t)i + 2)
+                              ? c->samples[end - 2 - (size_t)i] : 0.0f;
     c->samples.insert(c->samples.end(), tail.begin(), tail.end());
     c->n_total += half;
     c->compute_available();
@@ -176,7 +180,8 @@ int64_t voxwav_resample_linear(const float* in, int64_t n, int rate_in,
         std::memcpy(out, in, (size_t)n * sizeof(float));
         return n;
     }
-    const int64_t n_out = (int64_t)llround((double)n * rate_out / rate_in);
+    // round-half-to-even, matching python round() in wav.py:resample_linear
+    const int64_t n_out = (int64_t)nearbyint((double)n * rate_out / rate_in);
     if (n_out > out_cap) return -1;
     for (int64_t j = 0; j < n_out; ++j) {
         const double pos = (double)j * rate_in / rate_out;
