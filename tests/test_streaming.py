@@ -116,3 +116,38 @@ def test_set_delay_matches_fresh_stream(tiny_cfg, tiny_params, audio):
     assert b2.sc.delay_tokens == 30
     b2.set_delay(0)
     assert b2.sc.delay_tokens == 1
+
+
+def test_continuous_watchdog_kv_restart(tiny_cfg, tiny_params, audio):
+    """Continuous mode: the KV cap (voxtral.c:412) forces a FULL restart
+    and the stream keeps producing (monitor symbol ⟳♻)."""
+    import voxtral_tpu.runtime.stream as S
+    old = S.MAX_DECODE_KV
+    S.MAX_DECODE_KV = 16
+    try:
+        _, s = _stream_tokens(tiny_params, tiny_cfg, audio, [16000],
+                              continuous=True)
+    finally:
+        S.MAX_DECODE_KV = old
+    assert any(sym.startswith("⟳") for sym in s.monitor_log), s.monitor_log
+    assert s.n_generated > 16            # kept decoding after restarts
+    # KV-cap restarts are full resets (voxtral.c:1210-1213)
+    assert all("♻" in sym for sym in s.monitor_log if sym.startswith("⟳"))
+
+
+def test_continuous_watchdog_no_decode_timeout(tiny_cfg, tiny_params):
+    """Continuous mode: audio fed but no token decoded for the timeout
+    window triggers a restart (voxtral.c:1189-1239 trigger 4)."""
+    import voxtral_tpu.runtime.stream as S
+    old = S.MAX_NO_DECODE_SECONDS
+    S.MAX_NO_DECODE_SECONDS = 1
+    try:
+        s = VoxStream(tiny_params, tiny_cfg,
+                      stream_cfg=StreamConfig(interval=60.0,  # encoder gated
+                                              continuous=True))
+        rng = np.random.RandomState(3)
+        for _ in range(3):                   # 3 s fed, encoder never runs
+            s.feed((rng.randn(16000) * 0.3).astype(np.float32))
+    finally:
+        S.MAX_NO_DECODE_SECONDS = old
+    assert any(sym.startswith("⌚") for sym in s.monitor_log), s.monitor_log
