@@ -53,15 +53,23 @@ def test_greedy_tokens_match_reference(tiny_cfg, tiny_params):
 
 
 def test_logits_match_reference(tiny_cfg, tiny_params):
-    """Top-k logit values track the reference's full logits closely."""
+    """Alt-candidate logit values track the reference's full logits closely,
+    and the candidate set honors the alt mask (no specials, no emitted
+    token; see models/decoder.py:alt_candidates)."""
     g = load_fixture("decoder.npz")
     _, tokens, aux = _run_decode(tiny_cfg, tiny_params, g["adapter"])
     ref_logits = g["logits"]                      # [N, V]
     vals = np.asarray(aux["topk_vals"][0])        # [N, 8]
     idxs = np.asarray(aux["topk_idx"][0])
+    best = np.asarray(aux["best_logit"][0])
+    ns = tiny_cfg.streaming.n_special
     for step in range(ref_logits.shape[0]):
+        assert (idxs[step] >= ns).all()
+        assert (idxs[step] != tokens[step]).all()
         ref_at_idx = ref_logits[step][idxs[step]]
         np.testing.assert_allclose(vals[step], ref_at_idx, atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(best[step], ref_logits[step][tokens[step]],
+                                   atol=2e-4, rtol=1e-3)
 
 
 def test_bucket_padding_is_inert(tiny_cfg, tiny_params):

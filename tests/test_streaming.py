@@ -135,6 +135,68 @@ def test_continuous_watchdog_kv_restart(tiny_cfg, tiny_params, audio):
     assert all("♻" in sym for sym in s.monitor_log if sym.startswith("⟳"))
 
 
+def test_continuous_watchdog_nontext_streak(tiny_cfg, tiny_params, audio,
+                                            monkeypatch):
+    """Continuous mode trigger 3 (voxtral.c:415-417): >= N consecutive
+    non-text tokens force a restart; streak restarts are FULL resets
+    (trigger >= 2 escalation, voxtral.c:1210-1213)."""
+    import voxtral_tpu.runtime.stream as S
+    monkeypatch.setattr(S, "MAX_NON_TEXT_STREAK", 4)
+    # force every decoded token to classify as non-text so the streak is
+    # deterministic regardless of the random weights' argmax choices
+    monkeypatch.setattr(S.VoxStream, "_classify", lambda self, t: "control")
+    _, s = _stream_tokens(tiny_params, tiny_cfg, audio, [16000],
+                          continuous=True)
+    streaks = [sym for sym in s.monitor_log if sym.startswith("↯")]
+    assert streaks, s.monitor_log
+    assert all("♻" in sym for sym in streaks)
+    assert s.n_generated > 4                 # kept decoding after restarts
+
+
+def test_eos_restart_escalation_to_full(tiny_cfg, tiny_params, audio):
+    """EOS restarts are decoder-only (✂) until 2 consecutive TEXTLESS
+    restarts, then escalate to a full reset (♻) — voxtral.c:1189-1239 +
+    empty-restart escalation. A text token in between resets the count."""
+    s = VoxStream(tiny_params, tiny_cfg,
+                  stream_cfg=StreamConfig(interval=2.0, continuous=True))
+    s.feed(audio)                            # decoder live, real state
+    assert s.decoder_started
+
+    s.eos_seen = True                        # textless EOS #1
+    s._watchdog()
+    assert s.monitor_log[-1] == "↺✂" and s.empty_restarts == 1
+    assert not s.eos_seen and not s.decoder_started   # decoder was reset
+
+    s.eos_seen = True                        # textless EOS #2 -> escalate
+    s._watchdog()
+    assert s.monitor_log[-1] == "↺♻" and s.empty_restarts == 0
+
+    s.feed(audio)                            # restart the decoder
+    s.text_since_restart = True              # a text token landed
+    s.eos_seen = True
+    s._watchdog()
+    assert s.monitor_log[-1] == "↺✂" and s.empty_restarts == 0
+
+
+def test_set_continuous(tiny_cfg, tiny_params, audio):
+    """vox_stream_set_continuous parity (voxtral.h:306-317): toggling live
+    mode on an existing stream enables the watchdog."""
+    import voxtral_tpu.runtime.stream as S
+    s = VoxStream(tiny_params, tiny_cfg, stream_cfg=StreamConfig(interval=2.0))
+    assert not s.sc.continuous
+    s.set_continuous(True)
+    assert s.sc.continuous
+    s.feed(audio)
+    s.eos_seen = True
+    s._watchdog()                            # fires only in continuous mode
+    assert s.monitor_log and s.monitor_log[-1].startswith("↺")
+    s.set_continuous(False)
+    s.eos_seen = True
+    n = len(s.monitor_log)
+    s._watchdog()
+    assert len(s.monitor_log) == n           # watchdog inert when off
+
+
 def test_continuous_watchdog_no_decode_timeout(tiny_cfg, tiny_params):
     """Continuous mode: audio fed but no token decoded for the timeout
     window triggers a restart (voxtral.c:1189-1239 trigger 4)."""

@@ -39,6 +39,64 @@ def test_q8_roundtrip(tmp_path):
     np.testing.assert_allclose(sf.tensor_f32("w"), w, atol=scales.max())
 
 
+def test_bounds_validation_rejects_corrupt_files(tmp_path):
+    """Truncated/corrupt safetensors must be rejected at open with a clear
+    error, not crash later (voxtral_safetensors.c:272-282 semantics)."""
+    import json
+    import struct
+
+    import pytest
+
+    path = os.path.join(tmp_path, "t.safetensors")
+    a = np.arange(12, dtype=np.float32).reshape(3, 4)
+    save_safetensors(path, {"a": a})
+
+    # 1. truncated data section
+    blob = open(path, "rb").read()
+    open(path, "wb").write(blob[:-8])
+    with pytest.raises(ValueError, match="out of bounds|size mismatch"):
+        SafetensorsFile(path)
+
+    # 2. header declares offsets beyond the file
+    def write_with_header(header, data):
+        hj = json.dumps(header).encode()
+        with open(path, "wb") as f:
+            f.write(struct.pack("<Q", len(hj)))
+            f.write(hj)
+            f.write(data)
+
+    write_with_header(
+        {"a": {"dtype": "F32", "shape": [3, 4], "data_offsets": [0, 1 << 20]}},
+        a.tobytes())
+    with pytest.raises(ValueError, match="out of bounds"):
+        SafetensorsFile(path)
+
+    # 3. byte count inconsistent with dtype x shape
+    write_with_header(
+        {"a": {"dtype": "F32", "shape": [4, 4], "data_offsets": [0, 48]}},
+        a.tobytes())
+    with pytest.raises(ValueError, match="size mismatch"):
+        SafetensorsFile(path)
+
+    # 4. unknown dtype
+    write_with_header(
+        {"a": {"dtype": "F8_E4M3", "shape": [3, 4], "data_offsets": [0, 12]}},
+        a.tobytes()[:12])
+    with pytest.raises(ValueError, match="unknown dtype"):
+        SafetensorsFile(path)
+
+    # 5. header length field exceeding the file
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", 1 << 30))
+        f.write(b"{}")
+    with pytest.raises(ValueError, match="header length"):
+        SafetensorsFile(path)
+
+    # 6. valid file still opens (guard against over-rejection)
+    save_safetensors(path, {"a": a})
+    np.testing.assert_array_equal(SafetensorsFile(path).tensor("a"), a)
+
+
 def test_param_tree_roundtrip(tiny_cfg, tiny_params, tmp_path):
     """Export to reference-layout safetensors and reload: identical tree."""
     path = os.path.join(tmp_path, "model.safetensors")

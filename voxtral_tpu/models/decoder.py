@@ -71,6 +71,29 @@ from voxtral_tpu.quant import Quantized, dequantize, quantize_kv
 SLOT_INVALID = -(1 << 30)
 
 
+def alt_candidates(logits: jax.Array, tok: jax.Array, n_special: int,
+                   k: int):
+    """Alt-token candidates with EXACT full-vocab-scan semantics
+    (voxtral.c:955-1010): the reference softmaxes the whole vocab and
+    repeatedly scans i >= TOKEN_TEXT_MIN (= n_special, specials excluded),
+    skipping the emitted best token, picking candidates in descending
+    probability. Probability order equals logit order and
+    p_i / p_best == exp(l_i - l_best), so the softmax cancels: top-k over
+    the masked logits gives the same candidate sequence (ties broken by
+    lowest index, like the reference's strict `>` scan).
+
+    logits: [B, V] f32; tok: [B] emitted token. Returns (vals [B, k] f32
+    masked logits (-inf once candidates run out), idx [B, k] int32,
+    best_logit [B] f32 = logits[tok])."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    masked = jnp.where((iota < n_special) | (iota == tok[:, None]),
+                       -jnp.inf, logits)
+    vals, idxs = jax.lax.top_k(masked, k)
+    best = jnp.take_along_axis(logits, tok[:, None].astype(jnp.int32),
+                               axis=1)[:, 0]
+    return vals, idxs.astype(jnp.int32), best
+
+
 def time_conditioning(delay_tokens: float, dim: int, theta: float = 10000.0) -> jax.Array:
     """Sinusoidal embedding of the transcription delay
     (python_simple_implementation.py:344-349). Returns [dim] f32."""
@@ -431,9 +454,8 @@ def decode_scan(dec_params: dict, cfg: VoxtralConfig, state: DecodeState,
         new_done = done | (active & (tok == eos)) if stop_at_eos else done
         out_tok = jnp.where(active, tok, -1)
         if collect_topk > 0:
-            vals, idxs = jax.lax.top_k(logits, collect_topk)
-            lse = jax.nn.logsumexp(logits, axis=-1)
-            aux = (vals, idxs.astype(jnp.int32), lse)
+            aux = alt_candidates(logits, tok, cfg.streaming.n_special,
+                                 collect_topk)
         else:
             aux = ()
         return ((tuple(chunk_k), tuple(chunk_v), chunk_pos,
@@ -476,8 +498,8 @@ def decode_scan(dec_params: dict, cfg: VoxtralConfig, state: DecodeState,
     tokens = jnp.swapaxes(tokens, 0, 1)            # [B, N]
     aux_out = {}
     if collect_topk > 0:
-        vals, idxs, lse = aux
+        vals, idxs, best = aux
         aux_out = {"topk_vals": jnp.swapaxes(vals, 0, 1),
                    "topk_idx": jnp.swapaxes(idxs, 0, 1),
-                   "logsumexp": jnp.swapaxes(lse, 0, 1)}
+                   "best_logit": jnp.swapaxes(best, 0, 1)}
     return new_state, tokens, aux_out

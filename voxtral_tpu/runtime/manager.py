@@ -36,6 +36,7 @@ import numpy as np
 
 from voxtral_tpu.config import VoxtralConfig
 from voxtral_tpu.models.decoder import ada_scales, time_conditioning
+from voxtral_tpu.runtime.alts import select_alts
 from voxtral_tpu.runtime.fleet import (
     fleet_reset_slots, fleet_step_masked, init_fleet_state, pcm_stream_skew,
 )
@@ -237,7 +238,7 @@ class FleetManager:
         the staged slot's samples back and masks its row off."""
         staged = self._stage({})
         while staged is not None:
-            topk = self.n_alt if self.n_alt > 1 else 0
+            topk = self.n_alt - 1 if self.n_alt > 1 else 0
             self.state, tokens, aux = fleet_step_masked(
                 self.params, self.cfg, self.state, staged.pcm_dev,
                 jnp.asarray(staged.active), jnp.asarray(staged.forced),
@@ -250,7 +251,7 @@ class FleetManager:
             if topk:
                 alts = (np.asarray(aux["topk_vals"]),
                         np.asarray(aux["topk_idx"]),
-                        np.asarray(aux["logsumexp"]))
+                        np.asarray(aux["best_logit"]))
             self.steps += 1
             for sid in staged.part:
                 self._consume(sid, tokens[sid], staged.forced[sid],
@@ -330,23 +331,13 @@ class FleetManager:
             s.buf = np.concatenate(
                 [np.zeros(self.left_pad, np.float32), s.buf])
 
-    def _alts(self, best: int, vals, idxs, lse):
-        """Alternatives within 1 - p_i/p_best <= cutoff (voxtral.c:955-1010),
-        computed from the step's top-k logits + logsumexp."""
-        p = np.exp(vals.astype(np.float64) - float(lse))
-        p0 = None
-        out = []
-        for v, tid in zip(p, idxs):
-            tid = int(tid)
-            if tid == best:
-                p0 = v
-                continue
-            if p0 is None:
-                continue
-            if tid >= self.cfg.streaming.n_special and                     (1.0 - v / max(p0, 1e-30)) <= self.alt_cutoff:
-                piece = self.tok.decode([tid]) if self.tok else None
-                out.append((tid, piece))
-        return out
+    def _alts(self, vals, idxs, best_logit):
+        """Alternatives within 1 - p_i/p_best <= cutoff — exact full-vocab
+        scan semantics (voxtral.c:955-1010) via the device-side
+        alt_candidates top-k + the shared host cutoff walk."""
+        return [(j, self.tok.decode([j]) if self.tok else None)
+                for j in select_alts(best_logit, vals, idxs,
+                                     self.n_alt, self.alt_cutoff)]
 
     def _consume(self, sid: int, toks: np.ndarray, forced: np.ndarray,
                  alt_info=None):
@@ -375,7 +366,7 @@ class FleetManager:
                 piece = s.sdec.piece(t) if s.sdec else None
                 if alt_info is not None:
                     s.queue.append((t, piece, self._alts(
-                        t, alt_info[0][i], alt_info[1][i], alt_info[2][i])))
+                        alt_info[0][i], alt_info[1][i], alt_info[2][i])))
                 else:
                     s.queue.append((t, piece))
                 s.text_tokens += 1

@@ -21,7 +21,6 @@ voxtral.c:410-420 and :1189-1239.
 from __future__ import annotations
 
 import dataclasses
-import math
 import time
 from functools import partial
 
@@ -42,6 +41,7 @@ from voxtral_tpu.models.encoder import (
 from voxtral_tpu.models.decoder import DecodeState
 from voxtral_tpu.ops.conv import causal_conv1d
 from voxtral_tpu.ops.linear import embed_lookup
+from voxtral_tpu.runtime.alts import select_alts
 
 # Shape buckets (mel frames per conv dispatch; decode steps per scan)
 # Bucket caps are bounded by the pending-KV block sizes (the fold is a
@@ -209,6 +209,13 @@ class VoxStream:
 
     def set_interval(self, seconds: float):
         self.min_new_mel = max(int(seconds * 100.0), 1)
+
+    def set_continuous(self, enable: bool):
+        """Enable/disable live mode (vox_stream_set_continuous,
+        voxtral.h:306-317 / voxtral.c:1677): watchdog auto-restarts on EOS,
+        KV overflow, non-text streaks, and no-decode timeouts. Off (the
+        default), EOS ends decoding — fine for finite files."""
+        self.sc.continuous = bool(enable)
 
     def set_delay(self, delay_ms: int):
         """Change the transcription delay (vox_set_delay, voxtral.c:1681-87):
@@ -448,7 +455,7 @@ class VoxStream:
                 frames = self._take_backlog(n)
                 fpad = jnp.zeros((nb, cfg.decoder.dim), frames.dtype)
                 fpad = fpad.at[:n].set(frames)
-                topk = 8 if self.sc.n_alt > 1 else 0
+                topk = self.sc.n_alt - 1 if self.sc.n_alt > 1 else 0
                 self.decode_state, tokens, aux = _decode(
                     self.params["decoder"], cfg, self.decode_state,
                     fpad[None], jnp.asarray([n], jnp.int32), self.t_ada,
@@ -457,6 +464,8 @@ class VoxStream:
                 if topk:
                     tvals = np.asarray(jax.device_get(aux["topk_vals"][0]))[:n]
                     tidx = np.asarray(jax.device_get(aux["topk_idx"][0]))[:n]
+                    tbest = np.asarray(
+                        jax.device_get(aux["best_logit"][0]))[:n]
                 self.last_decode_sample = self.real_samples_fed
                 for i, t in enumerate(toks):
                     if t < 0:
@@ -468,7 +477,8 @@ class VoxStream:
                     if t == cfg.streaming.eos:
                         self.eos_seen = True
                         break
-                    self._emit(t, tvals[i] if topk else None,
+                    self._emit(t, tbest[i] if topk else None,
+                               tvals[i] if topk else None,
                                tidx[i] if topk else None)
             self.decoder_s += time.perf_counter() - t0
 
@@ -484,32 +494,17 @@ class VoxStream:
             return "text" if self.tok.token_bytes(token_id) else "invalid"
         return "text"
 
-    def _emit(self, token_id: int, topk_vals, topk_idx):
+    def _emit(self, token_id: int, best_logit, topk_vals, topk_idx):
         cls = self._classify(token_id)
         if cls == "text":
             piece = (self._sdec.piece(token_id) if self.tok
                      else f"<{token_id}>")
             alts = []
             if topk_vals is not None and self.sc.n_alt > 1:
-                best_logit = None
-                for v, j in zip(topk_vals, topk_idx):
-                    if int(j) == token_id:
-                        best_logit = float(v)
-                        break
-                if best_logit is not None:
-                    order = np.argsort(-topk_vals)
-                    for oi in order:
-                        j = int(topk_idx[oi])
-                        if j == token_id or j < self.cfg.streaming.n_special:
-                            continue
-                        r = 1.0 - math.exp(float(topk_vals[oi]) - best_logit)
-                        if r > self.sc.alt_cutoff:
-                            break
-                        p = (self.tok.decode_piece(j) if self.tok else f"<{j}>")
-                        if p:
-                            alts.append((j, p))
-                        if len(alts) >= self.sc.n_alt - 1:
-                            break
+                for j in select_alts(best_logit, topk_vals, topk_idx,
+                                     self.sc.n_alt, self.sc.alt_cutoff):
+                    p = (self.tok.decode_piece(j) if self.tok else f"<{j}>")
+                    alts.append((j, p))
             self.queue.append((token_id, piece, alts))
             self.n_text_tokens += 1
             self.text_since_restart = True

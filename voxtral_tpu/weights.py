@@ -57,12 +57,54 @@ class SafetensorsFile:
     def __init__(self, path: str):
         self.path = path
         with open(path, "rb") as f:
-            (hlen,) = struct.unpack("<Q", f.read(8))
-            header = json.loads(f.read(hlen))
+            raw8 = f.read(8)
+            if len(raw8) < 8:
+                raise ValueError(f"{path}: truncated safetensors header")
+            (hlen,) = struct.unpack("<Q", raw8)
+            hraw = f.read(hlen)
+            if len(hraw) < hlen:
+                raise ValueError(f"{path}: header length {hlen} exceeds file")
+            header = json.loads(hraw)
         self.header = {k: v for k, v in header.items() if k != "__metadata__"}
         self.metadata = header.get("__metadata__", {})
         self._data_start = 8 + hlen
         self._mmap = np.memmap(path, dtype=np.uint8, mode="r")
+        self._validate_offsets()
+
+    def _validate_offsets(self):
+        """Reject truncated/corrupt files up front instead of surfacing an
+        opaque reshape error or a silent short view later — the reference
+        validates every tensor against the file size at open
+        (voxtral_safetensors.c:272-282). Beyond the reference, the byte
+        count is also checked against dtype x shape."""
+        data_bytes = self._mmap.size - self._data_start
+        for name, meta in self.header.items():
+            s, e = meta["data_offsets"]
+            if not (0 <= s <= e <= data_bytes):
+                raise ValueError(
+                    f"{self.path}: data out of bounds for {name}: "
+                    f"offsets [{s}, {e}) vs {data_bytes} data bytes")
+            shape = meta["shape"]
+            n = 1
+            for d in shape:
+                if d < 0:
+                    raise ValueError(
+                        f"{self.path}: negative dim in shape of {name}")
+                n *= d
+            if meta["dtype"] == "Q8":
+                if len(shape) != 2:
+                    raise ValueError(f"{self.path}: Q8 tensor {name} must "
+                                     f"be 2-D, got shape {shape}")
+                want = 4 * shape[0] + n           # [rows f32 scales][int8]
+            elif meta["dtype"] in _DTYPES:
+                want = n * np.dtype(_DTYPES[meta["dtype"]]).itemsize
+            else:
+                raise ValueError(
+                    f"{self.path}: unknown dtype {meta['dtype']!r} for {name}")
+            if e - s != want:
+                raise ValueError(
+                    f"{self.path}: size mismatch for {name}: {e - s} bytes "
+                    f"vs {want} expected for {meta['dtype']} {shape}")
 
     def names(self):
         return list(self.header.keys())
