@@ -25,6 +25,18 @@ Caveat (documented in models/decoder.py): the lockstep ring cursor advances
 with the busiest stream, so a slot that idles while siblings run has its
 oldest ring entries recycled early — bounded in practice by the 2000-token
 restart cap, and irrelevant for equal-rate streams.
+
+Multi-host DP (BASELINE.json "streams DP across 2 hosts"): pass a mesh that
+spans processes (parallel/distributed.global_mesh). Every process runs this
+manager over the SAME global FleetState; each manages only its host-local
+rows of the stream batch (attach/feed/get are per-process, slot ids are
+local), uploads only those rows (make_array_from_process_local_data) and
+reads back only those rows of the token output. Control decisions that
+gate compiled calls (any stream ready? any watchdog reset?) are agreed via
+tiny boolean all-gathers so all processes execute identical call
+sequences; per-slot resets are therefore DEFERRED to the next step
+boundary (semantically identical: no step runs in between). All processes
+must drive poll() in lockstep.
 """
 
 from __future__ import annotations
@@ -33,8 +45,10 @@ import dataclasses
 
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 from voxtral_tpu.config import VoxtralConfig
+from voxtral_tpu.parallel.sharding import DATA
 from voxtral_tpu.models.decoder import ada_scales, time_conditioning
 from voxtral_tpu.runtime.alts import select_alts
 from voxtral_tpu.runtime.fleet import (
@@ -113,15 +127,25 @@ class FleetManager:
         # params are TP-sharded, stream state DP/head-sharded, and the
         # manager holds parallel.sharding.use_tp_mesh OPEN for its lifetime
         # so the fused attention kernel traces under shard_map (call
-        # close() to release). batch must divide by the data axis.
+        # close() to release). batch must divide by the data axis. A mesh
+        # spanning processes makes this a multi-host DP manager (see module
+        # docstring): `batch` stays the GLOBAL stream count.
         self.mesh = mesh
         self._mesh_cm = None
+        self._n_procs = 1
+        self.row_lo, self.row_hi = 0, batch
         if mesh is not None:
+            from voxtral_tpu.parallel.distributed import host_row_range
             from voxtral_tpu.parallel.sharding import (
                 shard_params, use_tp_mesh)
+            import jax
             self._mesh_cm = use_tp_mesh(mesh)
             self._mesh_cm.__enter__()
             params = shard_params(params, cfg, mesh)
+            self._n_procs = jax.process_count()
+            if self._n_procs > 1:
+                self.row_lo, self.row_hi = host_row_range(mesh, batch)
+        self.local_batch = self.row_hi - self.row_lo
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer
@@ -149,7 +173,9 @@ class FleetManager:
                 fleet_state_pspecs, shard_tree)
             self.state = shard_tree(
                 self.state, fleet_state_pspecs(cfg, kv_dtype), mesh)
-        self.slots = [_Slot() for _ in range(batch)]
+        # slot ids are LOCAL rows (== global rows single-process)
+        self.slots = [_Slot() for _ in range(self.local_batch)]
+        self._pending_resets: dict = {}    # local sid -> full: bool
         self.left_pad = (st.n_left_pad_tokens * cfg.audio.raw_audio_per_token
                          - pcm_stream_skew(cfg))
         self.steps = 0
@@ -160,9 +186,10 @@ class FleetManager:
     # -- lifecycle ----------------------------------------------------------
 
     def attach(self) -> int:
-        """Claim a free slot; returns the stream id. The stream's padded
-        sample stream starts with the left-pad silence (minus the device
-        skew, see fleet.py:pcm_stream_skew)."""
+        """Claim a free slot; returns the stream id (host-local row). The
+        stream's padded sample stream starts with the left-pad silence
+        (minus the device skew, see fleet.py:pcm_stream_skew). The slot's
+        device rows reset at the next step boundary (_apply_resets)."""
         for sid, s in enumerate(self.slots):
             if not s.active:
                 break
@@ -172,7 +199,7 @@ class FleetManager:
             active=True, buf=np.zeros(self.left_pad, np.float32), queue=[],
             replay_left=self.prompt_len - 1, all_ids=[],
             sdec=self.tok.stream_decoder() if self.tok else None)
-        self._reset_device(sid, full=True)
+        self._queue_reset(sid, full=True)
         return sid
 
     def detach(self, sid: int):
@@ -235,42 +262,78 @@ class FleetManager:
         step itself; see SPEED.md). Step k+1's forced-replay rows are
         projected past step k's in-flight replay, so results are identical
         to the serial order; a restart discovered in step k's tokens pushes
-        the staged slot's samples back and masks its row off."""
-        staged = self._stage({})
+        the staged slot's samples back and masks its row off.
+
+        Multi-host: every process must call poll() at the same time; the
+        number of steps taken is agreed via _any_hosts, so all processes
+        run the same compiled-call sequence even when only one of them has
+        ready streams."""
+        staged = self._stage_sync({})
         while staged is not None:
+            self._apply_resets()           # queued attach/watchdog resets
             topk = self.n_alt - 1 if self.n_alt > 1 else 0
             self.state, tokens, aux = fleet_step_masked(
                 self.params, self.cfg, self.state, staged.pcm_dev,
-                jnp.asarray(staged.active), jnp.asarray(staged.forced),
+                self._put(staged.active, P(DATA)),
+                self._put(staged.forced, P(DATA, None)),
                 self.t_ada, collect_topk=topk)
             inflight = {sid: int((staged.forced[sid] >= 0).sum())
                         for sid in staged.part}
-            self._staged_next = self._stage(inflight)  # overlaps the step
-            tokens = np.asarray(tokens)                # wait for the step
+            self._staged_next = self._stage_sync(inflight)  # overlaps step
+            tokens = self._fetch(tokens)               # wait for the step
             alts = None
             if topk:
-                alts = (np.asarray(aux["topk_vals"]),
-                        np.asarray(aux["topk_idx"]),
-                        np.asarray(aux["best_logit"]))
+                alts = (self._fetch(aux["topk_vals"]),
+                        self._fetch(aux["topk_idx"]),
+                        self._fetch(aux["best_logit"]))
             self.steps += 1
             for sid in staged.part:
                 self._consume(sid, tokens[sid], staged.forced[sid],
                               None if alts is None else
                               (alts[0][sid], alts[1][sid], alts[2][sid]))
             staged, self._staged_next = self._staged_next, None
-            if staged is None and self.ready():
-                # a restart re-buffered samples during consume
-                staged = self._stage({})
+            if staged is None:
+                # a restart may have re-buffered samples during consume
+                staged = self._stage_sync({})
+        self._apply_resets()   # resets from the final consume (keeps every
+        # process's queue drained at the same agreed point)
+
+    def _any_hosts(self, flags) -> np.ndarray:
+        if self._n_procs == 1:
+            return np.asarray(flags, bool)
+        from voxtral_tpu.parallel.distributed import any_across_hosts
+        return any_across_hosts(np.asarray(flags, bool))
+
+    def _put(self, local_rows: np.ndarray, spec):
+        """Host-local rows -> device (global array under a mesh)."""
+        if self.mesh is None:
+            return jnp.asarray(local_rows)
+        from voxtral_tpu.parallel.distributed import put_local_rows
+        return put_local_rows(self.mesh, spec, local_rows, self.batch)
+
+    def _fetch(self, garr) -> np.ndarray:
+        """This host's rows of a step output, as numpy (waits for it)."""
+        if self.mesh is None:
+            return np.asarray(garr)
+        from voxtral_tpu.parallel.distributed import fetch_local_rows
+        return fetch_local_rows(garr, self.row_lo, self.row_hi)
+
+    def _stage_sync(self, inflight: dict):
+        """_stage, gated by the ACROSS-HOSTS ready flag: returns None iff
+        no process has a full chunk buffered; a process with nothing ready
+        still stages an all-inactive row block so it participates in the
+        globally-agreed step."""
+        if not self._any_hosts([self.ready()])[0]:
+            return None
+        return self._stage(inflight)
 
     def _stage(self, inflight: dict):
-        """Cut a full chunk from every ready slot and start its upload.
-        inflight: sid -> number of forced-replay tokens in the step that is
-        currently executing (not yet consumed) — replay projection keeps
-        the staged forced rows identical to what the serial order would
-        compute."""
-        if not self.ready():
-            return None
-        b, n = self.batch, self.n
+        """Cut a full chunk from every ready LOCAL slot and start its
+        upload. inflight: sid -> number of forced-replay tokens in the step
+        that is currently executing (not yet consumed) — replay projection
+        keeps the staged forced rows identical to what the serial order
+        would compute."""
+        b, n = self.local_batch, self.n
         wire = np.int16 if self.wire_dtype == "s16" else np.float32
         pcm = np.zeros((b, self.chunk_samp), wire)
         active = np.zeros(b, bool)
@@ -291,14 +354,36 @@ class FleetManager:
             rl = s.replay_left - inflight.get(sid, 0)
             if rl > 0:
                 forced[sid, :min(rl, n)] = self.cfg.streaming.streaming_pad
-        return _Staged(pcm_dev=jnp.asarray(pcm), active=active,
+        return _Staged(pcm_dev=self._put(pcm, P(DATA, None)), active=active,
                        forced=forced, part=part, raw=raw)
 
-    def _reset_device(self, sid: int, *, full: bool):
-        mask = np.zeros(self.batch, bool)
-        mask[sid] = True
-        self.state = fleet_reset_slots(self.cfg, self.state,
-                                       jnp.asarray(mask), full=full)
+    def _queue_reset(self, sid: int, *, full: bool):
+        """Defer a per-slot device reset to the next step boundary (full
+        wins over decoder-only). Semantically identical to an immediate
+        reset — no step runs in between — and it makes the compiled-call
+        sequence host-count-invariant (see module docstring)."""
+        self._pending_resets[sid] = full or self._pending_resets.get(
+            sid, False)
+
+    def _apply_resets(self):
+        """Apply queued per-slot resets; all processes agree (tiny
+        all-gather) on which of the two fleet_reset_slots calls happen."""
+        if not self._pending_resets and self._n_procs == 1:
+            return
+        dec = np.zeros(self.local_batch, bool)
+        full = np.zeros(self.local_batch, bool)
+        for sid, f in self._pending_resets.items():
+            (full if f else dec)[sid] = True
+        self._pending_resets.clear()
+        flags = self._any_hosts([dec.any(), full.any()])
+        if flags[1]:
+            self.state = fleet_reset_slots(self.cfg, self.state,
+                                           self._put(full, P(DATA)),
+                                           full=True)
+        if flags[0]:
+            self.state = fleet_reset_slots(self.cfg, self.state,
+                                           self._put(dec, P(DATA)),
+                                           full=False)
 
     def _restart(self, s: _Slot, sid: int, *, full: bool):
         s.restarts += 1
@@ -317,7 +402,7 @@ class FleetManager:
             nxt.forced[sid] = -1
             if not nxt.part:
                 self._staged_next = None
-        self._reset_device(sid, full=full)
+        self._queue_reset(sid, full=full)
         s.replay_left = self.prompt_len - 1
         s.pos = 0
         s.nontext_streak = 0
