@@ -106,36 +106,43 @@ def bench_steady(params, cfg, t_ada, batch, chunk_mel, enc_ring, dec_ring,
     return {"audio_s_per_s": audio_s / dt, "step_ms": dt / iters * 1e3}
 
 
-def bench_latency(params, cfg, t_ada, enc_ring, dec_ring, chunk_mel=48,
-                  warmup=3, iters=40, kv_dtype="int8"):
-    """Low-latency streaming config (BASELINE.json headline, -I 0.5): one
-    stream, ~0.5 s chunks, each feed individually synced — the time from a
-    chunk's audio arriving to its tokens landing on the host IS the
-    streaming token latency (all of a chunk's tokens emerge at step end).
-    Returns p50/p95 over `iters` feeds."""
-    state = init_fleet_state(cfg, batch=1, enc_ring=enc_ring,
-                             dec_ring=dec_ring, max_mel_chunk=160,
-                             kv_dtype=kv_dtype)
+def bench_latency_serving(params, cfg, dec_ring, chunk_tokens=6,
+                          warmup=12, iters=50, kv_dtype="int8"):
+    """TRUE streaming token latency at the API surface (BASELINE.md:39-40,
+    the "-I 0.5 with --alt" configuration): one stream through the full
+    FleetManager serving path — host buffering, staging/upload, the masked
+    fleet step WITH the alt-token top-k active (collect_topk over the
+    131072-wide logits, BASELINE config #3), watchdog bookkeeping, the
+    host alt-cutoff walk, and queue delivery. Each feed is one 0.48 s
+    chunk (6 tokens; -I 0.5 rounded to the 80 ms token grid), so the wall
+    time from feeding a chunk's audio to its tokens landing on the host IS
+    every one of those tokens' latency. Returns p50/p95 over `iters`
+    feeds plus tokens/feed."""
+    from voxtral_tpu.runtime.manager import FleetManager
+    mgr = FleetManager(params, cfg, batch=1, chunk_tokens=chunk_tokens,
+                       dec_ring=dec_ring, kv_dtype=kv_dtype,
+                       continuous=True, n_alt=2, alt_cutoff=0.95)
+    sid = mgr.attach()
     rng = np.random.RandomState(1)
-    hop = cfg.audio.hop_length
-    pcm0 = jnp.asarray((rng.rand(1, 320 * hop) - 0.5).astype(np.float32))
-    pcm = jnp.asarray((rng.rand(1, chunk_mel * hop) - 0.5).astype(np.float32))
-    state, tokens, _ = fleet_bootstrap_pcm(params, cfg, state, pcm0, t_ada)
-    np.asarray(tokens)
-    for _ in range(warmup):
-        state, tokens, _ = fleet_step_pcm(params, cfg, state, pcm, t_ada)
-        np.asarray(tokens)
-    samples = []
-    for _ in range(iters):
+    chunk = mgr.chunk_samp
+
+    def feed_poll():
+        pcm = ((rng.rand(chunk) - 0.5) * 0.2).astype(np.float32)
         t0 = time.perf_counter()
-        state, tokens, _ = fleet_step_pcm(params, cfg, state, pcm, t_ada)
-        np.asarray(tokens)
-        samples.append((time.perf_counter() - t0) * 1e3)
-    samples.sort()
+        mgr.feed(sid, pcm)
+        mgr.poll()
+        return (time.perf_counter() - t0) * 1e3
+
+    for _ in range(warmup):
+        feed_poll()
+    n0 = mgr.slots[sid].generated
+    samples = sorted(feed_poll() for _ in range(iters))
+    emitted = mgr.slots[sid].generated - n0
     return {
         "p50_ms": samples[len(samples) // 2],
         "p95_ms": samples[int(len(samples) * 0.95)],
-        "chunk_s": chunk_mel / 100.0,
+        "chunk_s": chunk_tokens * 0.08,
+        "tokens_per_feed": emitted / iters,
     }
 
 
@@ -155,6 +162,33 @@ def main():
                        time_conditioning(cfg.streaming.delay_tokens,
                                          cfg.decoder.dim))
 
+    chunk_mel = int(os.environ.get("VOX_BENCH_CHUNK_MEL", "160"))
+
+    # bf16 north-star configs (BASELINE.md:35 ">=50x per chip at bf16"):
+    # measured BEFORE quantization on the same bf16 param tree. Strict =
+    # bf16 weights + bf16 KV rings; the int8-KV variant keeps weight
+    # precision and halves ring state (the reference's own default KV cache
+    # is fp16, voxtral.c:189-190, i.e. below weight precision). Stream
+    # counts from the 08-19 memory-fit sweep (tools/profile_bf16.py).
+    bf16 = {}
+    if os.environ.get("VOX_BENCH_BF16", "1") == "1":
+        b_strict = int(os.environ.get("VOX_BENCH_BF16_STREAMS", "14"))
+        log(f"bf16 weights fleet (strict: bf16 KV), {b_strict} streams:")
+        r = bench_fleet(params, cfg, t_ada, b_strict, chunk_mel,
+                        enc_ring=ENC_RING, dec_ring=2048, warmup=2, iters=5,
+                        kv_dtype="float")
+        log(f"  {r['audio_s_per_s']:.1f} audio-s/s | step {r['step_ms']:.1f} ms")
+        bf16["bf16_audio_s_per_s"] = round(r["audio_s_per_s"], 2)
+        bf16["bf16_streams"] = b_strict
+        b_i8 = int(os.environ.get("VOX_BENCH_BF16_I8_STREAMS", "24"))
+        log(f"bf16 weights fleet (int8 KV rings), {b_i8} streams:")
+        r = bench_fleet(params, cfg, t_ada, b_i8, chunk_mel,
+                        enc_ring=ENC_RING, dec_ring=2048, warmup=2, iters=5,
+                        kv_dtype="int8")
+        log(f"  {r['audio_s_per_s']:.1f} audio-s/s | step {r['step_ms']:.1f} ms")
+        bf16["bf16_int8kv_audio_s_per_s"] = round(r["audio_s_per_s"], 2)
+        bf16["bf16_int8kv_streams"] = b_i8
+
     q8 = os.environ.get("VOX_BENCH_Q8", "1") == "1"
     if q8:
         from voxtral_tpu.quant import quantize_params
@@ -169,7 +203,6 @@ def main():
     batch = int(os.environ.get("VOX_BENCH_STREAMS",
                                ("32" if kv_dtype == "int8" else "12")
                                if q8 else "8"))
-    chunk_mel = int(os.environ.get("VOX_BENCH_CHUNK_MEL", "160"))
 
     log(f"fleet: {batch} streams x {chunk_mel/100:.1f}s chunks "
         f"(dec ring 2048, enc ring {ENC_RING}, {'Q8' if q8 else 'bf16'} weights, "
@@ -192,11 +225,12 @@ def main():
     log(f"  {single['audio_s_per_s']:.1f} audio-s/s | "
         f"{single['ms_per_token']:.2f} ms/token")
 
-    log("streaming latency (B=1, -I 0.5 equivalent, 0.48s chunks):")
-    lat = bench_latency(params, cfg, t_ada, enc_ring=ENC_RING, dec_ring=2048,
-                        kv_dtype=kv_dtype)
+    log("streaming token latency (FleetManager B=1, -I 0.5, --alt 0.95):")
+    lat = bench_latency_serving(params, cfg, dec_ring=2048,
+                                kv_dtype=kv_dtype)
     log(f"  p50 {lat['p50_ms']:.1f} ms | p95 {lat['p95_ms']:.1f} ms "
-        f"per {lat['chunk_s']:.2f}s feed")
+        f"audio-in -> token-out per {lat['chunk_s']:.2f}s feed "
+        f"({lat['tokens_per_feed']:.1f} tok/feed)")
 
     value = fleet["audio_s_per_s"]
     print(json.dumps({
@@ -211,9 +245,13 @@ def main():
             "single_stream_audio_s_per_s": round(single["audio_s_per_s"], 2),
             "batched_ms_per_token": round(fleet["ms_per_token"], 3),
             "single_ms_per_token": round(single["ms_per_token"], 3),
-            "stream_latency_p50_ms": round(lat["p50_ms"], 1),
-            "stream_latency_p95_ms": round(lat["p95_ms"], 1),
+            # measured at the serving API surface (FleetManager poll with
+            # alt top-k active), not the raw step — see bench_latency_serving
+            "token_latency_p50_ms": round(lat["p50_ms"], 1),
+            "token_latency_p95_ms": round(lat["p95_ms"], 1),
             "streams": batch,
+            "hosts": 1, "chips": 1,
+            **bf16,
             # live-mode context cap: the fleet mirrors the reference's
             # STREAM_MAX_DECODE_KV=2000 live cap (voxtral.c:412), NOT the
             # offline 8192 window (VoxStream/batch pipeline keep the full

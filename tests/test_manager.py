@@ -296,3 +296,90 @@ def test_meshed_manager_q8_params(tiny_cfg, tiny_params):
         sid = mgr.attach()
         got = _serve(mgr, {sid: audio})[sid]
     assert got == want
+
+
+def _duty_cycle_serve(mgr, x_sid, sib_sids, x_audio, sib_audio, chunk_samp,
+                      duty=4):
+    """Feed siblings every round, X only every `duty` rounds; returns the
+    number of rounds run."""
+    rounds = len(sib_audio) // chunk_samp
+    for i in range(rounds):
+        for sid in sib_sids:
+            mgr.feed(sid, sib_audio[i * chunk_samp:(i + 1) * chunk_samp])
+        if i % duty == 0:
+            j = i // duty
+            mgr.feed(x_sid, x_audio[j * chunk_samp:(j + 1) * chunk_samp])
+        mgr.poll()
+    return rounds
+
+
+def test_lockstep_lag_exact_within_ring_bound(tiny_cfg, tiny_params):
+    """A 25%-duty-cycle stream in a busy fleet still matches its solo run
+    as long as the ring holds >= duty x window positions: its in-window
+    entries span window/chunk_tokens of ITS chunks = duty x that many
+    cursor ticks, all younger than the ring size. This pins the documented
+    lockstep-lag bound from the exact side (reference semantics: per-stream
+    cache, voxtral_decoder.c:251-384)."""
+    chunk_tokens = 8
+    chunk_samp = chunk_tokens * 1280
+    x_audio = _audio(21, seconds=10.0)[:12 * chunk_samp]
+    sib_audio = _audio(22, seconds=40.0)[:48 * chunk_samp]
+
+    solo = FleetManager(tiny_params, tiny_cfg, batch=1,
+                        chunk_tokens=chunk_tokens, dec_ring=256,
+                        continuous=False)
+    xs = solo.attach()
+    for j in range(12):
+        solo.feed(xs, x_audio[j * chunk_samp:(j + 1) * chunk_samp])
+        solo.poll()
+    want = list(solo.slots[xs].all_ids)
+
+    mgr = FleetManager(tiny_params, tiny_cfg, batch=3,
+                       chunk_tokens=chunk_tokens, dec_ring=256,
+                       continuous=False)
+    x = mgr.attach()
+    sibs = [mgr.attach(), mgr.attach()]
+    _duty_cycle_serve(mgr, x, sibs, x_audio, sib_audio, chunk_samp)
+    got = list(mgr.slots[x].all_ids)
+    assert got == want, "laggard diverged inside the ring bound"
+
+    window = min(tiny_cfg.decoder.window, 256)
+    # full-rate sibling: retained == min(pos, window) exactly
+    sib_pos = int(np.asarray(mgr.state.decode.pos)[sibs[0]])
+    assert mgr.retained_kv(sibs[0]) == min(sib_pos, window)
+    # the laggard kept its whole window too (the exactness precondition)
+    x_pos = int(np.asarray(mgr.state.decode.pos)[x])
+    assert mgr.retained_kv(x) >= min(x_pos, window)
+
+
+def test_lockstep_lag_shrink_is_measurable(tiny_cfg, tiny_params):
+    """With a ring SMALLER than duty x window, the laggard's oldest
+    in-window slots get recycled by the shared cursor — retained_kv must
+    report the shrink (the checkable counter for the documented caveat),
+    while full-rate siblings keep their full window."""
+    chunk_tokens = 8
+    chunk_samp = chunk_tokens * 1280
+    x_audio = _audio(23, seconds=10.0)[:12 * chunk_samp]
+    sib_audio = _audio(24, seconds=40.0)[:48 * chunk_samp]
+
+    mgr = FleetManager(tiny_params, tiny_cfg, batch=3,
+                       chunk_tokens=chunk_tokens, dec_ring=64,
+                       continuous=False)
+    x = mgr.attach()
+    sibs = [mgr.attach(), mgr.attach()]
+    _duty_cycle_serve(mgr, x, sibs, x_audio, sib_audio, chunk_samp)
+
+    dec = mgr.state.decode
+    ring = dec.k_ring[0].shape[1] - dec.pending_sp.shape[1]
+    window = min(tiny_cfg.decoder.window, ring)
+    x_pos = int(np.asarray(dec.pos)[x])
+    retained = mgr.retained_kv(x)
+    assert x_pos > window, "test setup: laggard must outgrow its window"
+    assert retained < window, (
+        f"expected measurable shrink: retained {retained} vs window "
+        f"{window} (ring {ring})")
+    # the shrink is bounded by the ring: the laggard keeps at least the
+    # positions written within the last `ring` cursor ticks
+    assert retained >= ring // (4 * chunk_tokens) * chunk_tokens - chunk_tokens
+    sib_pos = int(np.asarray(dec.pos)[sibs[0]])
+    assert mgr.retained_kv(sibs[0]) == min(sib_pos, window)

@@ -214,6 +214,27 @@ def reset_streams(state: DecodeState, mask: jax.Array, bos_token: int = 1,
         done=jnp.where(mask, False, state.done))
 
 
+def retained_window(state: DecodeState, window: int):
+    """Per-stream count of in-window KV entries actually present (ring +
+    pending): the CHECKABLE form of the lockstep-lag caveat (module
+    docstring). A stream advancing every step retains
+    min(pos, window, ring); a stream that idles while siblings decode has
+    its oldest slots recycled by the shared cursor and this count shrinks
+    below its nominal window — the quantity the 2000-KV watchdog restart
+    bounds. Returns [B] int32. (The reference keeps a per-stream cache,
+    voxtral_decoder.c:251-384, where this is always min(pos, window);
+    tests/test_manager.py pins both the exact-within-bound and the
+    measured-shrink behaviors.)"""
+    lo = state.pos[:, None] - window
+    hi = state.pos[:, None]
+
+    def count(sp):
+        return ((sp >= lo) & (sp < hi)).sum(axis=1)
+
+    return (count(state.slot_pos)
+            + count(state.pending_sp)).astype(jnp.int32)
+
+
 def _fold_pending(state: DecodeState, kv_heads: int, head_dim: int):
     """Fold the pending chunk into the rings — ONE in-place
     dynamic_update_slice per ring buffer, issued BEFORE any ring read

@@ -490,6 +490,19 @@ class FleetManager:
             if rem:
                 s.queue.append((-1, rem))
 
+    def retained_kv(self, sid: int) -> int:
+        """In-window decode-KV entries slot `sid` actually holds on device
+        — the checkable lockstep-lag bound (models/decoder.py:
+        retained_window): equal to min(pos, window, ring) for a stream that
+        participates in every step; smaller for a laggard whose oldest
+        slots the shared cursor recycled. The watchdog's MAX_DECODE_KV
+        restart keeps any shrink bounded; tests pin both behaviors."""
+        from voxtral_tpu.models.decoder import retained_window
+        dec = self.state.decode
+        ring = dec.k_ring[0].shape[1] - dec.pending_sp.shape[1]
+        window = min(self.cfg.decoder.window, ring)
+        return int(self._fetch(retained_window(dec, window))[sid])
+
     def stats(self) -> dict:
         from voxtral_tpu.utils import device_memory_gb
         return {
