@@ -43,11 +43,11 @@ def log(m):
 
 
 def run_config(params, cfg, t_ada, batch, kv_dtype, chunk_mel=CHUNK_MEL,
-               iters=6):
+               dec_ring=DEC_RING, iters=6):
     # encoder ring must hold window + the chunk's pending block
     enc_ring = max(ENC_RING, cfg.encoder.window + chunk_mel // 2 + 10)
     state = init_fleet_state(cfg, batch=batch, enc_ring=enc_ring,
-                             dec_ring=DEC_RING, max_mel_chunk=chunk_mel,
+                             dec_ring=dec_ring, max_mel_chunk=chunk_mel,
                              kv_dtype=kv_dtype)
     rng = np.random.RandomState(0)
     hop = cfg.audio.hop_length
@@ -72,7 +72,8 @@ def run_config(params, cfg, t_ada, batch, kv_dtype, chunk_mel=CHUNK_MEL,
     fresh_ms = dt / iters * 1e3
 
     # steady state: rings full, prefix buckets read the whole ring
-    state = age_fleet_state(cfg, state, 4096)
+    phys = state.decode.k_ring[0].shape[1]
+    state = age_fleet_state(cfg, state, max(4096, phys + 64))
     state, tokens, _ = fleet_step_pcm(params, cfg, state, pcm, t_ada)
     np.asarray(tokens)
     t0 = time.perf_counter()
@@ -90,9 +91,11 @@ def main():
     for a in sys.argv[1:]:
         parts = a.split(":")
         chunk = int(parts[2]) if len(parts) > 2 else CHUNK_MEL
-        configs.append((int(parts[0]), parts[1], chunk))
+        ring = int(parts[3]) if len(parts) > 3 else DEC_RING
+        configs.append((int(parts[0]), parts[1], chunk, ring))
     if not configs:
-        configs = [(14, "float", CHUNK_MEL), (24, "int8", CHUNK_MEL)]
+        configs = [(14, "float", CHUNK_MEL, DEC_RING),
+                   (24, "int8", CHUNK_MEL, DEC_RING)]
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
     cfg = voxtral_4b(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
@@ -105,17 +108,17 @@ def main():
     t_ada = ada_scales(params["decoder"],
                        time_conditioning(cfg.streaming.delay_tokens,
                                          cfg.decoder.dim))
-    for batch, kv, chunk in configs:
-        log(f"config: B={batch} bf16 weights, {kv} KV, chunk {chunk} mel "
-            f"(dec ring {DEC_RING}, enc ring {ENC_RING})")
+    for batch, kv, chunk, ring in configs:
+        log(f"config: B={batch} bf16 weights, {kv} KV, chunk {chunk} mel, "
+            f"dec ring {ring}")
         try:
             fresh, fresh_ms, steady = run_config(params, cfg, t_ada, batch,
-                                                 kv, chunk)
-            log(f"  RESULT B={batch} kv={kv} chunk={chunk}: "
+                                                 kv, chunk, ring)
+            log(f"  RESULT B={batch} kv={kv} chunk={chunk} ring={ring}: "
                 f"fresh {fresh:.1f} audio-s/s ({fresh_ms:.1f} ms/step) | "
                 f"steady {steady:.1f} audio-s/s")
         except Exception as e:  # OOM etc: report and continue the sweep
-            log(f"  FAILED B={batch} kv={kv} chunk={chunk}: "
+            log(f"  FAILED B={batch} kv={kv} chunk={chunk} ring={ring}: "
                 f"{type(e).__name__}: {str(e)[:300]}")
 
 
