@@ -144,18 +144,23 @@ def agreement(got, want):
             "exact": got == want}
 
 
-def main():
-    seconds = float(os.environ.get("VOX_4B_SECONDS", "2.0"))
-    seed = int(os.environ.get("VOX_4B_SEED", "4242"))
-    modes = os.environ.get("VOX_4B_MODES", "f32,bf16,q8").split(",")
+def full_dim_config(enc_layers: int | None = None,
+                    dec_layers: int | None = None):
     cfg = voxtral_4b(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
-    el = int(os.environ.get("VOX_4B_ENC_LAYERS", cfg.encoder.layers))
-    dl = int(os.environ.get("VOX_4B_DEC_LAYERS", cfg.decoder.layers))
-    cfg = dataclasses.replace(
-        cfg, encoder=dataclasses.replace(cfg.encoder, layers=el),
-        decoder=dataclasses.replace(cfg.decoder, layers=dl))
-    log(f"config: enc {el}L/{cfg.encoder.dim}, dec {dl}L/{cfg.decoder.dim}, "
-        f"vocab {cfg.decoder.vocab_size}, {seconds}s audio, seed {seed}")
+    return dataclasses.replace(
+        cfg,
+        encoder=dataclasses.replace(cfg.encoder,
+                                    layers=enc_layers or cfg.encoder.layers),
+        decoder=dataclasses.replace(cfg.decoder,
+                                    layers=dec_layers or cfg.decoder.layers))
+
+
+def run(cfg, seconds: float, modes, seed: int = 4242) -> dict:
+    """Generate bf16 weights at cfg's dims, get reference greedy tokens via
+    the torch implementation, run our pipeline in each mode, and return the
+    agreement report (tests/test_parity_4b_dims.py calls this with reduced
+    layer counts)."""
+    import gc
 
     t0 = time.perf_counter()
     params = random_params(cfg, seed=seed)
@@ -177,12 +182,10 @@ def main():
     log(f"reference: {len(want)} tokens, min top-2 logit margin "
         f"{m.min():.4g} (p10 {np.percentile(m, 10):.4g})")
     del sf
-    import gc
     gc.collect()
 
     from voxtral_tpu.models.pipeline import transcribe_tokens_batch
     report = {"tokens": len(want), "min_margin": float(m.min())}
-    fail = False
     for mode in modes:
         mode = mode.strip()
         t0 = time.perf_counter()
@@ -204,12 +207,25 @@ def main():
         r = agreement(got, want)
         log(f"mode {mode}: {r} ({time.perf_counter() - t0:.1f}s)")
         report[mode] = r
-        if mode == "f32" and not r["exact"]:
-            fail = True
-
     os.unlink(tmp.name)
+    return report
+
+
+def main():
+    seconds = float(os.environ.get("VOX_4B_SECONDS", "2.0"))
+    seed = int(os.environ.get("VOX_4B_SEED", "4242"))
+    modes = os.environ.get("VOX_4B_MODES", "f32,bf16,q8").split(",")
+    cfg = full_dim_config(
+        int(os.environ["VOX_4B_ENC_LAYERS"])
+        if "VOX_4B_ENC_LAYERS" in os.environ else None,
+        int(os.environ["VOX_4B_DEC_LAYERS"])
+        if "VOX_4B_DEC_LAYERS" in os.environ else None)
+    log(f"config: enc {cfg.encoder.layers}L/{cfg.encoder.dim}, "
+        f"dec {cfg.decoder.layers}L/{cfg.decoder.dim}, "
+        f"vocab {cfg.decoder.vocab_size}, {seconds}s audio, seed {seed}")
+    report = run(cfg, seconds, modes, seed)
     print("PARITY_4B", report)
-    sys.exit(1 if fail else 0)
+    sys.exit(0 if report.get("f32", {}).get("exact", True) else 1)
 
 
 if __name__ == "__main__":
