@@ -199,6 +199,32 @@ def run(cfg, seconds: float, modes, seed: int = 4242) -> dict:
             import copy
             p = quantize_params(copy.deepcopy(params))
             c = cfg
+        elif mode == "serving":
+            # the PRODUCTION config end-to-end: Q8 weights + int8 KV rings
+            # through the FleetManager serving path (device-side mel,
+            # masked step, scan decode) — the quality proxy for the
+            # benchmark headline configuration
+            import copy
+
+            from voxtral_tpu.quant import quantize_params
+            from voxtral_tpu.runtime.manager import FleetManager
+            p = quantize_params(copy.deepcopy(params))
+            with FleetManager(p, cfg, batch=1, chunk_tokens=8,
+                              dec_ring=2048, continuous=False,
+                              kv_dtype="int8") as mgr:
+                sid = mgr.attach()
+                mgr.feed(sid, audio)
+                mgr.finish(sid)
+                while not mgr.is_finished(sid):
+                    mgr.poll()
+                got = [t for t in mgr.slots[sid].all_ids
+                       if t != cfg.streaming.eos]
+            del p
+            gc.collect()
+            r = agreement(got, want)
+            log(f"mode {mode}: {r} ({time.perf_counter() - t0:.1f}s)")
+            report[mode] = r
+            continue
         else:
             raise ValueError(mode)
         got, _ = transcribe_tokens_batch(p, c, audio)
