@@ -110,8 +110,10 @@ def main():
 
     # tied-embedding logits read (the other big per-token weight read)
     for q8 in (False, True):
-        emb = (mkq((VOCAB, DIM))._replace(s=jnp.full((VOCAB,), 0.01,
-                                                     jnp.float32))
+        emb = (Quantized(
+                   q=jax.random.randint(_next_key(), (VOCAB, DIM), -127, 127,
+                                        jnp.int32).astype(jnp.int8),
+                   s=jnp.full((VOCAB,), 0.01, jnp.float32), axis=0)
                if q8 else mk((VOCAB, DIM)))
         nbytes = VOCAB * DIM * (1 if q8 else 2)
         ms = time_loop(flog, x, emb)
