@@ -383,3 +383,59 @@ def test_lockstep_lag_shrink_is_measurable(tiny_cfg, tiny_params):
     assert retained >= ring // (4 * chunk_tokens) * chunk_tokens - chunk_tokens
     sib_pos = int(np.asarray(dec.pos)[sibs[0]])
     assert mgr.retained_kv(sibs[0]) == min(sib_pos, window)
+
+
+def test_noncontinuous_eos_stops_stream(tiny_cfg, tiny_params):
+    """A non-continuous slot that emits EOS must stop decoding — nothing
+    is emitted OR generated after it, matching VoxStream / the batch
+    pipeline / the reference (voxtral.c:1098-1184: outside continuous mode
+    eos_seen ends decode permanently).
+
+    A real on-device EOS is forced by re-designating a known mid-stream
+    greedy token as the EOS id: greedy tokens are weight-deterministic, and
+    streaming.eos only affects the stop logic, not the feedback path. The
+    raw tiny weights lock greedy onto one token (the largest embed row
+    dominates the feedback loop), so the embed rows are normalized and the
+    adapter amplified to make tokens audio-dependent."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from voxtral_tpu.models.pipeline import transcribe_tokens_batch
+
+    emb = np.asarray(tiny_params["decoder"]["embed"], np.float32)
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True) * 0.05
+    adapter = {k: jnp.asarray(np.asarray(v, np.float32) * 4.0)
+               for k, v in tiny_params["adapter"].items()}
+    params = {**tiny_params, "adapter": adapter,
+              "decoder": {**tiny_params["decoder"],
+                          "embed": jnp.asarray(emb)}}
+
+    audio = _audio(21, seconds=3.0)
+    probe = [int(t)
+             for t in transcribe_tokens_batch(params, tiny_cfg, audio)[0]]
+    assert len(probe) >= 8
+    # the text token (>= n_special, so replay/control paths are unaffected)
+    # whose FIRST occurrence is latest -> the EOS fires mid-stream
+    firsts = {}
+    for i, t in enumerate(probe):
+        if t >= tiny_cfg.streaming.n_special:
+            firsts.setdefault(t, i)
+    t_eos, first = max(firsts.items(), key=lambda kv: kv[1])
+    assert 1 <= first < len(probe) - 1
+
+    cfg2 = dataclasses.replace(
+        tiny_cfg,
+        streaming=dataclasses.replace(tiny_cfg.streaming, eos=t_eos))
+    want = [int(t)
+            for t in transcribe_tokens_batch(params, cfg2, audio)[0]]
+    assert want == probe[:first]       # the oracle stopped at the EOS
+
+    mgr = FleetManager(params, cfg2, batch=2, chunk_tokens=8,
+                       dec_ring=256, continuous=False)
+    s0, s1 = mgr.attach(), mgr.attach()
+    got = _serve(mgr, {s0: audio, s1: _audio(22, seconds=3.0)})
+    assert got[s0][-1] == t_eos, "stream must end AT the EOS"
+    assert got[s0][:-1] == want
+    assert mgr.slots[s0].eos_seen
+    assert mgr.is_finished(s0)

@@ -87,6 +87,7 @@ class _Slot:
     queue: list = None                     # [(token_id, piece)]
     finishing: bool = False
     finished: bool = False
+    eos_seen: bool = False                 # non-continuous: slot is stopped
     # watchdog counters
     pos: int = 0                           # decode KV length since restart
     nontext_streak: int = 0
@@ -272,11 +273,17 @@ class FleetManager:
         while staged is not None:
             self._apply_resets()           # queued attach/watchdog resets
             topk = self.n_alt - 1 if self.n_alt > 1 else 0
+            # Non-continuous streams stop decoding at EOS ON DEVICE (the
+            # per-slot `done` flag freezes the slot until reset), matching
+            # VoxStream/batch/the reference (voxtral.c:1098-1184: EOS ends
+            # decode outside continuous mode). Continuous mode instead
+            # restarts via the host watchdog at the chunk boundary.
             self.state, tokens, aux = fleet_step_masked(
                 self.params, self.cfg, self.state, staged.pcm_dev,
                 self._put(staged.active, P(DATA)),
                 self._put(staged.forced, P(DATA, None)),
-                self.t_ada, collect_topk=topk)
+                self.t_ada, collect_topk=topk,
+                stop_at_eos=not self.continuous)
             inflight = {sid: int((staged.forced[sid] >= 0).sum())
                         for sid in staged.part}
             self._staged_next = self._stage_sync(inflight)  # overlaps step
@@ -465,6 +472,10 @@ class FleetManager:
         in_flight = (self._staged_next is not None
                      and sid in self._staged_next.raw)
         if not self.continuous:
+            if restart == "eos":
+                # the device-side `done` flag (stop_at_eos=True) already
+                # froze the slot; record it so callers can observe the stop
+                s.eos_seen = True
             if s.finishing and len(s.buf) < self.chunk_samp and not in_flight:
                 self._finish_slot(s)
             return
