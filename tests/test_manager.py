@@ -439,3 +439,29 @@ def test_noncontinuous_eos_stops_stream(tiny_cfg, tiny_params):
     assert got[s0][:-1] == want
     assert mgr.slots[s0].eos_seen
     assert mgr.is_finished(s0)
+
+
+def test_manager_monitor_hook(tiny_cfg, tiny_params):
+    """FleetManager(monitor=...) surfaces the reference's per-event symbols
+    per slot: decode-batch classification (▪▸▫▹✗✘◦ + ⚠/☠ severity) and
+    restart trigger/tier pairs (↺⟳↯⌚ + ✂/♻)."""
+    import voxtral_tpu.runtime.manager as M
+    events = []
+    old = M.MAX_DECODE_KV
+    M.MAX_DECODE_KV = 24            # force a ⟳ restart within the clip
+    try:
+        mgr = FleetManager(tiny_params, tiny_cfg, batch=2, chunk_tokens=8,
+                           dec_ring=256, continuous=True,
+                           monitor=lambda sid, sym: events.append((sid, sym)))
+        s0 = mgr.attach()
+        _serve(mgr, {s0: _audio(31, seconds=4.0)})
+    finally:
+        M.MAX_DECODE_KV = old
+    assert events
+    assert all(sid == s0 for sid, _ in events)
+    syms = [sym for _, sym in events]
+    decode_syms = [x for x in syms if x[0] in "▪▸▫▹✗✘◦"]
+    assert decode_syms, syms
+    restart_syms = [x for x in syms if x[0] in "↺⟳↯⌚"]
+    assert any(x.startswith("⟳") for x in restart_syms), syms
+    assert all(len(x) == 2 and x[1] in "✂♻" for x in restart_syms), syms

@@ -213,3 +213,31 @@ def test_continuous_watchdog_no_decode_timeout(tiny_cfg, tiny_params):
     finally:
         S.MAX_NO_DECODE_SECONDS = old
     assert any(sym.startswith("⌚") for sym in s.monitor_log), s.monitor_log
+
+
+def test_monitor_decode_symbols(tiny_cfg, tiny_params, audio):
+    """--monitor emits the reference's full per-event symbol set
+    (README.md:105-130, voxtral.c:942-1181): ⌛ waiting for the prompt,
+    ▶ encoder chunk, · prefill, then one decode-batch symbol per decode
+    section classified text/control/invalid/EOS with a fast/slow variant."""
+    _, s = _stream_tokens(tiny_params, tiny_cfg, audio, [1600],
+                          interval=0.1, monitor=True)
+    log = s.monitor_log
+    # 0.1 s feeds: left pad (256 mel) + first feeds stay under the 312-mel
+    # first-chunk gate, so the decoder waits for its prompt
+    assert "⌛" in log, log
+    assert "▶" in log and "·" in log
+    decode_syms = [x for x in log
+                   if x and x[0] in "▪▸▫▹✗✘◦"]
+    assert decode_syms, log
+    # random tiny weights decode control/text tokens, never EOS here;
+    # the streak-severity suffix only ever rides control/invalid symbols
+    for x in decode_syms:
+        if len(x) > 1:
+            assert x[1] in "⚠☠" and x[0] in "▫▹✗✘"
+    # slow-threshold classification is config-driven: with a 0 ms threshold
+    # every decode batch is "slow"
+    _, s2 = _stream_tokens(tiny_params, tiny_cfg, audio, [16000],
+                           monitor=True, monitor_slow_ms=0.0)
+    d2 = [x for x in s2.monitor_log if x and x[0] in "▪▸▫▹✗✘◦"]
+    assert d2 and all(x[0] in "▸▹✘◦" for x in d2), s2.monitor_log

@@ -91,9 +91,11 @@ def main():
     x = mk((B, DIM))
 
     per_layer = DIM * QD + 2 * DIM * KD + QD * DIM + 2 * DIM * HID + HID * DIM
+    # Q8 also reads one f32 scale per output column of each matmul
+    per_layer_scales = 4 * (QD + 2 * KD + 2 * HID + 2 * DIM)
     for q8 in (False, True):
         layers = layer_weights(q8)
-        nbytes = L * per_layer * (1 if q8 else 2)
+        nbytes = L * (per_layer + per_layer_scales if q8 else per_layer * 2)
         ms = time_loop(stack_fn, x, layers)
         log(f"{'Q8  ' if q8 else 'bf16'} 26-layer matmul stack: "
             f"{ms:7.2f} ms  ({nbytes / ms / 1e6:.0f} GB/s over "
@@ -115,7 +117,7 @@ def main():
                                         jnp.int32).astype(jnp.int8),
                    s=jnp.full((VOCAB,), 0.01, jnp.float32), axis=0)
                if q8 else mk((VOCAB, DIM)))
-        nbytes = VOCAB * DIM * (1 if q8 else 2)
+        nbytes = VOCAB * DIM + VOCAB * 4 if q8 else VOCAB * DIM * 2
         ms = time_loop(flog, x, emb)
         log(f"{'Q8  ' if q8 else 'bf16'} logits+argmax [B,{VOCAB}]: "
             f"{ms:7.2f} ms  ({nbytes / ms / 1e6:.0f} GB/s)")

@@ -10,6 +10,7 @@ Variants:
 
 Loop-carried timing. Every variant's tokens are checked against variant 1.
 """
+import functools
 import os
 import sys
 import time
@@ -61,6 +62,7 @@ def fused_logits_argmax(h, emb_q, emb_s, blk):
     from jax.experimental.pallas import tpu as pltpu
 
     V, D = emb_q.shape
+    assert V % blk == 0, f"blk {blk} must divide vocab {V}"
     nb = V // blk
 
     def kernel(h_ref, t_ref, s_ref, val_ref, tok_ref):
@@ -128,7 +130,7 @@ def main():
             embs = (jax.random.uniform(_next_key(), (VOCAB,), jnp.float32)
                     * 0.02 + 0.001)
             emb = Quantized(q=embq, s=embs, axis=0)
-            nbytes = VOCAB * DIM
+            nbytes = VOCAB * DIM + VOCAB * 4   # int8 table + f32 scales
         else:
             embq = (jax.random.uniform(_next_key(), (VOCAB, DIM), jnp.float32)
                     - 0.5).astype(jnp.bfloat16) * 0.05
@@ -174,8 +176,6 @@ def main():
 
         s2d = None if embs is None else embs.reshape(1, VOCAB)
         for blk in BLKS:
-            import functools
-
             @functools.partial(jax.jit, static_argnums=(3,))
             def p_step(h, embq, s2d, blk):
                 tok = fused_logits_argmax(h, embq, s2d, blk)

@@ -50,14 +50,28 @@ def use_tp_mesh(mesh: Mesh, data_axis: str = DATA, model_axis: str = MODEL):
     prev = _TP_CTX
     new = (mesh, data_axis, model_axis)
     if new != prev:
-        jax.clear_caches()
+        _clear_caches("enter")
     _TP_CTX = new
     try:
         yield
     finally:
         _TP_CTX = prev
         if new != prev:
-            jax.clear_caches()
+            _clear_caches("exit")
+
+
+def _clear_caches(when: str):
+    """jax.clear_caches() is a GLOBAL side effect: every compiled program in
+    the process is discarded (minutes of recompiles at 4B scale). Warn
+    loudly so a long-lived process that opens/closes a meshed manager knows
+    why its next steps recompile."""
+    import sys
+
+    print(f"voxtral_tpu: use_tp_mesh {when} with a different mesh context "
+          "clears ALL jit caches process-wide — previously compiled "
+          "programs (including non-meshed ones) will recompile",
+          file=sys.stderr, flush=True)
+    jax.clear_caches()
 
 
 def active_tp_mesh() -> tuple | None:

@@ -42,6 +42,7 @@ must drive poll() in lockstep.
 from __future__ import annotations
 
 import dataclasses
+import time
 
 import jax.numpy as jnp
 import numpy as np
@@ -119,7 +120,13 @@ class FleetManager:
                  enc_ring: int | None = None, dec_ring: int = 2048,
                  continuous: bool = True, n_alt: int = 1,
                  alt_cutoff: float = 0.0, mesh=None,
-                 wire_dtype: str = "f32"):
+                 wire_dtype: str = "f32", monitor=None,
+                 monitor_slow_ms: float = 40.0):
+        # monitor: optional per-slot pipeline-event hook `monitor(sid, sym)`
+        # with the reference's --monitor symbol set (README.md:105-130):
+        # ▪/▸ text decode fast/slow, ▫/▹ control-only, ✗/✘ invalid, ◦ EOS,
+        # ⚠/☠ streak severity, ↺⟳↯⌚ restart triggers + ✂/♻ reset tier.
+        # slow = step wall-time per token > monitor_slow_ms.
         # wire_dtype="s16": ship PCM to the device as int16 (the native WAV/
         # mic sample format — halves host->device traffic) and convert on
         # device (exact: int16 -> f32 and the *2^-15 scale are lossless).
@@ -183,6 +190,9 @@ class FleetManager:
         assert wire_dtype in ("f32", "s16"), wire_dtype
         self.wire_dtype = wire_dtype
         self._staged_next = None       # _Staged in flight during consume
+        self._monitor = monitor
+        self.monitor_slow_ms = monitor_slow_ms
+        self._last_step_ms = 0.0
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -278,6 +288,7 @@ class FleetManager:
             # VoxStream/batch/the reference (voxtral.c:1098-1184: EOS ends
             # decode outside continuous mode). Continuous mode instead
             # restarts via the host watchdog at the chunk boundary.
+            t0 = time.perf_counter()
             self.state, tokens, aux = fleet_step_masked(
                 self.params, self.cfg, self.state, staged.pcm_dev,
                 self._put(staged.active, P(DATA)),
@@ -288,6 +299,7 @@ class FleetManager:
                         for sid in staged.part}
             self._staged_next = self._stage_sync(inflight)  # overlaps step
             tokens = self._fetch(tokens)               # wait for the step
+            self._last_step_ms = (time.perf_counter() - t0) * 1e3
             alts = None
             if topk:
                 alts = (self._fetch(aux["topk_vals"]),
@@ -392,11 +404,39 @@ class FleetManager:
                                            self._put(dec, P(DATA)),
                                            full=False)
 
-    def _restart(self, s: _Slot, sid: int, *, full: bool):
+    def _mon_decode(self, sid: int, s: _Slot, steps: int, text: int,
+                    control: int, invalid: int, eos_step: bool):
+        """Per-slot decode-batch monitor symbol; same classification as
+        VoxStream._mon_decode / voxtral.c:1151-1181."""
+        slow = self._last_step_ms / max(self.n, 1) > self.monitor_slow_ms
+        if text > 0:
+            sym = "▸" if slow else "▪"
+        elif invalid > 0:
+            sym = "✘" if slow else "✗"
+        elif control > 0:
+            sym = "▹" if slow else "▫"
+        elif eos_step:
+            sym = "◦"
+        else:
+            sym = "▪"
+        sev = ""
+        if text == 0 and (control > 0 or invalid > 0):
+            if s.nontext_streak >= MAX_NON_TEXT_STREAK - 8:
+                sev = "☠"
+            elif s.nontext_streak >= MAX_NON_TEXT_STREAK // 2:
+                sev = "⚠"
+        self._monitor(sid, sym + sev)
+
+    def _restart(self, s: _Slot, sid: int, *, full: bool,
+                 trigger: str | None = None):
         s.restarts += 1
         if not s.text_since_restart:
             s.empty_restarts += 1
         full = full or s.empty_restarts >= EMPTY_RESTARTS_FOR_FULL_RESET
+        if self._monitor is not None and trigger is not None:
+            self._monitor(sid, {"eos": "↺", "kv": "⟳", "streak": "↯",
+                                "full": "⌚"}[trigger]
+                          + ("♻" if full else "✂"))
         # un-stage: a chunk already cut+uploaded for the NEXT step was cut
         # under pre-restart assumptions (forced rows, audio continuity for
         # full resets) — push its samples back and mask its row off; it is
@@ -439,6 +479,8 @@ class FleetManager:
         eos = cfg.streaming.eos
         restart = None
         replay_used = 0
+        n_text = n_control = n_invalid = n_steps = 0
+        eos_step = False
         for i, t in enumerate(toks):
             t = int(t)
             if forced[i] >= 0:
@@ -451,10 +493,19 @@ class FleetManager:
             s.generated += 1
             s.all_ids.append(t)
             s.pos += 1
+            n_steps += 1
             if t == eos:
                 restart = restart or "eos"
                 s.nontext_streak += 1
+                eos_step = True
             elif t >= n_special:
+                if self.tok is not None and not self.tok.token_bytes(t):
+                    # reference STREAM_TOK_INVALID (voxtral.c:524-539): an
+                    # empty decode is never enqueued and counts toward the
+                    # non-text streak
+                    s.nontext_streak += 1
+                    n_invalid += 1
+                    continue
                 piece = s.sdec.piece(t) if s.sdec else None
                 if alt_info is not None:
                     s.queue.append((t, piece, self._alts(
@@ -465,9 +516,14 @@ class FleetManager:
                 s.nontext_streak = 0
                 s.samples_since_text = 0
                 s.text_since_restart = True
+                n_text += 1
             else:
                 s.nontext_streak += 1
+                n_control += 1
         s.pos += replay_used
+        if n_steps and self._monitor is not None:
+            self._mon_decode(sid, s, n_steps, n_text, n_control, n_invalid,
+                             eos_step)
         s.replay_left -= replay_used
         in_flight = (self._staged_next is not None
                      and sid in self._staged_next.raw)
@@ -489,7 +545,7 @@ class FleetManager:
         if restart and not s.finishing:
             # triggers >= 2 (kv / streak / timeout) are FULL resets in the
             # reference (voxtral.c:1210-1213); only EOS is decoder-only
-            self._restart(s, sid, full=(restart != "eos"))
+            self._restart(s, sid, full=(restart != "eos"), trigger=restart)
             in_flight = False          # _restart un-stages the slot
         if s.finishing and len(s.buf) < self.chunk_samp and not in_flight:
             self._finish_slot(s)

@@ -111,6 +111,9 @@ class StreamConfig:
     alt_cutoff: float = 0.0
     ring_size: int = 1280            # encoder KV ring (>= window + max chunk)
     monitor: bool = False
+    # decode-batch "slow" threshold for the monitor's ▸/▹/✘ variants; the
+    # reference hard-codes 40 ms/step for its M3 Max (voxtral.c:1153)
+    monitor_slow_ms: float = 40.0
 
 
 class VoxStream:
@@ -181,6 +184,7 @@ class VoxStream:
         self.text_since_restart = False
         self.empty_restarts = 0
         self.last_decode_sample = self.real_samples_fed
+        self._waiting_prompt = False     # ⌛ emitted once per wait episode
 
     def _reset_decoder(self):
         """Hard decoder reset (voxtral.c:778-794): drop backlog + context.
@@ -433,6 +437,11 @@ class VoxStream:
         lp = len(self.prompt_ids)
         if not self.decoder_started:
             if self.backlog_rows < lp:
+                if not self._waiting_prompt:
+                    # ⌛ = waiting for enough adapter tokens to prefill
+                    # (voxtral.c:1024-1030, once per wait episode)
+                    self._mon("⌛")
+                    self._waiting_prompt = True
                 return
             t0 = time.perf_counter()
             frames = self._take_backlog(lp - 1)
@@ -445,10 +454,13 @@ class VoxStream:
             dt = time.perf_counter() - t0
             self.prefill_s += dt
             self.decoder_s += dt
+            self._waiting_prompt = False
             self._mon("·")
 
         if self.decoder_started and not self.eos_seen and self.backlog_rows > 0:
             t0 = time.perf_counter()
+            n_text = n_control = n_invalid = n_steps = 0
+            eos_step = False
             while self.backlog_rows > 0 and not self.eos_seen:
                 n = min(self.backlog_rows, DECODE_BUCKETS[-1])
                 nb = _bucket(n, DECODE_BUCKETS)
@@ -474,13 +486,25 @@ class VoxStream:
                     self.n_generated += 1
                     self.generated_ids.append(t)
                     self.kv_len += 1
+                    n_steps += 1
                     if t == cfg.streaming.eos:
                         self.eos_seen = True
+                        eos_step = True
                         break
-                    self._emit(t, tbest[i] if topk else None,
-                               tvals[i] if topk else None,
-                               tidx[i] if topk else None)
-            self.decoder_s += time.perf_counter() - t0
+                    cls = self._emit(t, tbest[i] if topk else None,
+                                     tvals[i] if topk else None,
+                                     tidx[i] if topk else None)
+                    if cls == "text":
+                        n_text += 1
+                    elif cls == "invalid":
+                        n_invalid += 1
+                    else:
+                        n_control += 1
+            dt = time.perf_counter() - t0
+            self.decoder_s += dt
+            if n_steps:
+                self._mon_decode(dt, n_steps, n_text, n_control, n_invalid,
+                                 eos_step)
 
         self._watchdog()
 
@@ -494,7 +518,34 @@ class VoxStream:
             return "text" if self.tok.token_bytes(token_id) else "invalid"
         return "text"
 
-    def _emit(self, token_id: int, best_logit, topk_vals, topk_idx):
+    def _mon_decode(self, dt: float, steps: int, text: int, control: int,
+                    invalid: int, eos_step: bool):
+        """Per-decode-batch monitor symbol (voxtral.c:1151-1181): ▪/▸ text
+        decode fast/slow (vs monitor_slow_ms per step), ✗/✘ invalid, ▫/▹
+        control-only, ◦ EOS-only; ⚠/☠ appended to textless control/invalid
+        batches by non-text-streak severity."""
+        if not self.sc.monitor:
+            return
+        slow = dt * 1000.0 / steps > self.sc.monitor_slow_ms
+        if text > 0:
+            sym = "▸" if slow else "▪"
+        elif invalid > 0:
+            sym = "✘" if slow else "✗"
+        elif control > 0:
+            sym = "▹" if slow else "▫"
+        elif eos_step:
+            sym = "◦"
+        else:
+            sym = "▪"
+        sev = ""
+        if text == 0 and (control > 0 or invalid > 0):
+            if self.nontext_streak >= MAX_NON_TEXT_STREAK - 8:
+                sev = "☠"
+            elif self.nontext_streak >= MAX_NON_TEXT_STREAK // 2:
+                sev = "⚠"
+        self._mon(sym + sev)
+
+    def _emit(self, token_id: int, best_logit, topk_vals, topk_idx) -> str:
         cls = self._classify(token_id)
         if cls == "text":
             piece = (self._sdec.piece(token_id) if self.tok
@@ -512,6 +563,7 @@ class VoxStream:
             self.nontext_streak = 0
         else:
             self.nontext_streak += 1
+        return cls
 
     def _watchdog(self):
         """Liveness restarts for continuous streams (voxtral.c:1189-1239)."""
