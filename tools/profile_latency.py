@@ -1,0 +1,154 @@
+#!/usr/bin/env python3
+"""B=1 serving-path token-latency breakdown (BASELINE.md:39-40; VERDICT
+round-2 weak #3: p50 141 ms at the API surface vs ~72 ms raw step — where
+do the extra ~70 ms go?).
+
+Splits one FleetManager feed->token round into phases, each synced for
+attribution (upload: block_until_ready; downloads: np.asarray):
+
+  stage+pcm_up   cut the chunk + host->device PCM upload (tunnel fixed cost)
+  ctrl_up        active/forced row uploads (2 more small transfers)
+  step+tok_down  fleet_step_masked dispatch + device step + token download
+  alt_down       the 3 alt-token aux downloads (topk vals/idx/best)
+  host_walk      _consume: classification, alt cutoff walk, queue append
+
+Then measures UNSYNCED feed+poll p50/p95 for config variants: alt on/off,
+chunk_tokens 6/2, wire f32/s16 — the "latency mode" tradeoff table.
+
+Usage: VOX_PROF_KV=int8 python tools/profile_latency.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from voxtral_tpu.config import voxtral_4b
+from voxtral_tpu.parallel.sharding import DATA
+from voxtral_tpu.quant import quantize_params
+from voxtral_tpu.runtime.fleet import fleet_step_masked
+from voxtral_tpu.runtime.manager import FleetManager
+from voxtral_tpu.weights import random_params_device
+
+KV = os.environ.get("VOX_PROF_KV", "int8")
+ITERS = int(os.environ.get("VOX_PROF_ITERS", "40"))
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def pc():
+    return time.perf_counter()
+
+
+def make_mgr(params, cfg, chunk_tokens, n_alt, wire="f32"):
+    mgr = FleetManager(params, cfg, batch=1, chunk_tokens=chunk_tokens,
+                       dec_ring=2048, kv_dtype=KV, continuous=True,
+                       n_alt=n_alt, alt_cutoff=0.95, wire_dtype=wire)
+    mgr.attach()
+    return mgr
+
+
+def feed_poll(mgr, rng):
+    pcm = ((rng.rand(mgr.chunk_samp) - 0.5) * 0.2).astype(np.float32)
+    t0 = pc()
+    mgr.feed(0, pcm)
+    mgr.poll()
+    return (pc() - t0) * 1e3
+
+
+def breakdown(mgr, rng, iters=ITERS):
+    """Synced per-phase timing of the poll() pipeline at B=1."""
+    acc = {}
+
+    def mark(key, t0):
+        acc[key] = acc.get(key, 0.0) + (pc() - t0) * 1e3
+
+    topk = mgr.n_alt - 1 if mgr.n_alt > 1 else 0
+    for _ in range(iters):
+        pcm = ((rng.rand(mgr.chunk_samp) - 0.5) * 0.2).astype(np.float32)
+        mgr.feed(0, pcm)
+
+        t0 = pc()
+        staged = mgr._stage({})
+        jax.block_until_ready(staged.pcm_dev)
+        mark("stage+pcm_up", t0)
+
+        t0 = pc()
+        act = mgr._put(staged.active, P(DATA))
+        frc = mgr._put(staged.forced, P(DATA, None))
+        jax.block_until_ready((act, frc))
+        mark("ctrl_up", t0)
+
+        t0 = pc()
+        mgr.state, tokens, aux = fleet_step_masked(
+            mgr.params, mgr.cfg, mgr.state, staged.pcm_dev, act, frc,
+            mgr.t_ada, collect_topk=topk, stop_at_eos=not mgr.continuous)
+        tokens = np.asarray(tokens)
+        mark("step+tok_down", t0)
+
+        alts = None
+        if topk:
+            t0 = pc()
+            alts = (np.asarray(aux["topk_vals"]), np.asarray(aux["topk_idx"]),
+                    np.asarray(aux["best_logit"]))
+            mark("alt_down", t0)
+
+        t0 = pc()
+        mgr.steps += 1
+        for sid in staged.part:
+            mgr._consume(sid, tokens[sid], staged.forced[sid],
+                         None if alts is None else
+                         (alts[0][sid], alts[1][sid], alts[2][sid]))
+        mark("host_walk", t0)
+    return {k: v / iters for k, v in acc.items()}
+
+
+def main():
+    log(f"device: {jax.devices()[0]}; kv={KV}")
+    cfg = voxtral_4b(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    t0 = pc()
+    params = quantize_params(random_params_device(cfg, seed=0))
+    np.asarray(jax.device_get(
+        jax.tree_util.tree_leaves(params)[0].ravel()[:1]))
+    log(f"Q8 params ready in {pc() - t0:.1f}s")
+
+    rng = np.random.RandomState(1)
+
+    # --- phase breakdown at the bench config (chunk 6, alt on) ---
+    mgr = make_mgr(params, cfg, 6, 2)
+    for _ in range(12):
+        feed_poll(mgr, rng)          # compile + warm
+    parts = breakdown(mgr, rng)
+    total = sum(parts.values())
+    log(f"phase breakdown (B=1, 0.48 s feeds, alt top-k on, synced):")
+    for k, v in parts.items():
+        log(f"  {k:14s} {v:7.2f} ms  ({v / total * 100:4.1f}%)")
+    log(f"  {'sum':14s} {total:7.2f} ms")
+    del mgr
+
+    # --- config variants, unsynced end-to-end p50/p95 ---
+    for name, ct, n_alt, wire in [
+        ("bench: chunk6 alt-on f32", 6, 2, "f32"),
+        ("alt OFF", 6, 1, "f32"),
+        ("chunk2 (0.16s feeds) alt-on", 2, 2, "f32"),
+        ("chunk2 alt OFF", 2, 1, "f32"),
+        ("s16 wire, chunk6 alt-on", 6, 2, "s16"),
+    ]:
+        mgr = make_mgr(params, cfg, ct, n_alt, wire)
+        for _ in range(12):
+            feed_poll(mgr, rng)
+        xs = sorted(feed_poll(mgr, rng) for _ in range(ITERS))
+        log(f"{name:30s} p50 {xs[len(xs) // 2]:7.1f} ms | "
+            f"p95 {xs[int(len(xs) * 0.95)]:7.1f} ms per {ct * 0.08:.2f}s feed")
+        del mgr
+
+
+if __name__ == "__main__":
+    main()

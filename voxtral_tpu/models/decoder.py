@@ -56,6 +56,7 @@ streaming are exact.
 from __future__ import annotations
 
 import math
+import os
 from typing import NamedTuple
 
 import jax
@@ -69,6 +70,14 @@ from voxtral_tpu.ops.pallas_attention import ring_attention
 from voxtral_tpu.quant import Quantized, dequantize, quantize_kv
 
 SLOT_INVALID = -(1 << 30)
+
+# Decode-scan unroll factor (trace-time): unrolling lets the TPU scheduler
+# overlap one token's tail (logits/argmax/embed reads) with the next
+# token's early layer-weight DMA across the iteration boundary. Perf knob
+# only — results are bit-identical. Default 4: measured +2% fleet step at
+# the 4B bf16+int8KV config (tools/profile_unroll.py, SPEED.md); compile
+# memory grows with it (B=26 at 4B shapes fails to compile at unroll 4).
+_SCAN_UNROLL = int(os.environ.get("VOX_SCAN_UNROLL", "4"))
 
 
 def alt_candidates(logits: jax.Array, tok: jax.Array, n_special: int,
@@ -493,7 +502,8 @@ def decode_scan(dec_params: dict, cfg: VoxtralConfig, state: DecodeState,
              tuple(jnp.zeros((b, n, d.kv_dim), rdt) for _ in range(d.layers)),
              jnp.full((b, n), SLOT_INVALID, jnp.int32),
              state.pos, state.prev_token, state.done)
-    carry, (tokens, aux) = jax.lax.scan(scan_body, carry, xs)
+    carry, (tokens, aux) = jax.lax.scan(scan_body, carry, xs,
+                                        unroll=_SCAN_UNROLL)
     chunk_k, chunk_v, chunk_pos, pos, prev, done = carry
 
     # Park this chunk as the new pending block (padded to Np). Cursor
