@@ -48,7 +48,7 @@ def timeit(name, fn, layers, h, iters=20, flops=None):
         out = fn(layers, out)        # loop-carried (SPEED.md methodology)
     np.asarray(jax.device_get(out.ravel()[:1]))
     ms = (time.perf_counter() - t0) / iters * 1e3
-    util = f"  ({flops / (ms * 1e9) * 1e3 / 197.0 * 100:.0f}% of 197 TF/s)" \
+    util = f"  ({flops / (ms * 1e9) / 197.0 * 100:.0f}% of 197 TF/s)" \
         if flops else ""
     log(f"{name:40s} {ms:8.2f} ms{util}")
     return ms
@@ -112,18 +112,20 @@ def main():
     rng = np.random.RandomState(0)
     params = random_params_device(cfg, seed=0)
     bf16_layers = params["encoder"]["layers"]
-    qp = quantize_params(params)
-    q8_layers = qp["encoder"]["layers"]
     h = jnp.asarray((rng.rand(B, S, e.dim) - 0.5).astype(np.float32) * 0.1,
                     cfg.compute_dtype)
     per_layer = (3 * e.dim * e.attn_dim + e.attn_dim * e.dim
                  + 3 * e.dim * e.hidden)
     flops = 2 * B * S * per_layer * e.layers
 
-    timeit("split Q8 (current)", split_stack, q8_layers, h, flops=flops)
+    # bf16 variants FIRST: quantize_params below DONATES the bf16 leaves
     timeit("split bf16", split_stack, bf16_layers, h, flops=flops)
-    timeit("merged bf16", merged_stack, merge_layers(bf16_layers, False), h,
-           flops=flops)
+    merged_bf16 = merge_layers(bf16_layers, False)
+    timeit("merged bf16", merged_stack, merged_bf16, h, flops=flops)
+    del merged_bf16
+    qp = quantize_params(params)
+    q8_layers = qp["encoder"]["layers"]
+    timeit("split Q8 (current)", split_stack, q8_layers, h, flops=flops)
     timeit("merged Q8", merged_stack, merge_layers(q8_layers, True), h,
            flops=flops)
 

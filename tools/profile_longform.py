@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""BASELINE config #4: the FULL 8192-position rolling window at 4B shapes
+(voxtral_decoder.c:354-384; reference README.md:354 "Max audio length:
+Unlimited"). Every serving measurement so far used dec_ring=2048 (the
+live-mode KV cap, voxtral.c:412); offline VoxStream/batch keep the full
+window — this measures what that costs.
+
+Part 1 (fleet): Q8 weights + int8 KV, dec ring 8192+pending, B sweep —
+memory fit, fresh + steady (ring-full: contexts past 8192 tokens ≈ 11 min
+of audio) audio-s/s.
+
+Part 2 (VoxStream): one >11-minute stream through the B=1 streaming engine
+at ring 8192 — the full rolling window wraps in real operation (logical
+positions past the ring, fold-time recycling of out-of-window slots).
+
+Usage: python tools/profile_longform.py [B ...]   (default 8 10 12)
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import profile_bf16 as pb
+from voxtral_tpu.config import voxtral_4b
+from voxtral_tpu.models.decoder import ada_scales, time_conditioning
+from voxtral_tpu.quant import quantize_params
+from voxtral_tpu.weights import random_params_device
+
+DEC_RING = 8192          # init_decode_state adds the pending margin on top
+MINUTES = float(os.environ.get("VOX_PROF_MINUTES", "12"))
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def voxstream_longform(params, cfg):
+    """>11 min through VoxStream at the full window: positions pass 8192,
+    the ring wraps, tokens keep flowing."""
+    from voxtral_tpu.runtime.stream import StreamConfig, VoxStream
+    s = VoxStream(params, cfg,
+                  stream_cfg=StreamConfig(interval=2.0, continuous=False))
+    rng = np.random.RandomState(7)
+    secs = int(MINUTES * 60)
+    t0 = time.perf_counter()
+    for i in range(secs):
+        s.feed(((rng.rand(16000) - 0.5) * 0.4).astype(np.float32))
+    s.finish()
+    dt = time.perf_counter() - t0
+    gen = s.n_generated
+    # ring positions: the decoder consumed ~12.5 tokens/s of audio
+    log(f"VoxStream long-form: {secs} s audio in {dt:.1f} s "
+        f"({secs / dt:.1f}x real-time single stream), {gen} tokens, "
+        f"final decode pos {int(np.asarray(s.decode_state.pos)[0])} "
+        f"(ring {s.decode_state.k_ring[0].shape[1]} slots, window 8192)")
+    assert gen > 8192, "stream did not outgrow the 8192 window"
+
+
+def main():
+    batches = [int(a) for a in sys.argv[1:]] or [8, 10, 12]
+    log(f"device: {jax.devices()[0]}")
+    cfg = voxtral_4b(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    t0 = time.perf_counter()
+    params = quantize_params(random_params_device(cfg, seed=0))
+    np.asarray(jax.device_get(
+        jax.tree_util.tree_leaves(params)[0].ravel()[:1]))
+    log(f"Q8 params ready in {time.perf_counter() - t0:.1f}s")
+    t_ada = ada_scales(params["decoder"],
+                       time_conditioning(cfg.streaming.delay_tokens,
+                                         cfg.decoder.dim))
+    for b in batches:
+        log(f"config: B={b} Q8 weights, int8 KV, dec ring {DEC_RING}")
+        try:
+            fresh, fresh_ms, steady = pb.run_config(
+                params, cfg, t_ada, b, "int8", dec_ring=DEC_RING)
+            log(f"  RESULT B={b} ring={DEC_RING}: fresh {fresh:.1f} "
+                f"audio-s/s ({fresh_ms:.1f} ms/step) | steady {steady:.1f} "
+                f"audio-s/s (context > {DEC_RING * 0.08 / 60:.0f} min)")
+        except Exception as e:
+            log(f"  FAILED B={b}: {type(e).__name__}: {str(e)[:200]}")
+
+    log(f"VoxStream {MINUTES:.0f}-minute single stream at the full window:")
+    voxstream_longform(params, cfg)
+
+
+if __name__ == "__main__":
+    main()

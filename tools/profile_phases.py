@@ -42,8 +42,11 @@ t_ada = ada_scales(params["decoder"],
                    time_conditioning(cfg.streaming.delay_tokens,
                                      cfg.decoder.dim))
 
-state = init_fleet_state(cfg, batch=B, enc_ring=912, dec_ring=2048,
-                         max_mel_chunk=320, kv_dtype=KV)
+# pending sized to the profiled chunk, not the 320-mel bootstrap (the
+# production fleet splits the bootstrap into pending-sized sub-chunks);
+# bootstrap-sized pending OOMs the bf16-weights config at B=25
+state = init_fleet_state(cfg, batch=B, enc_ring=750 + T // 2 + 10,
+                         dec_ring=2048, max_mel_chunk=T, kv_dtype=KV)
 rng = np.random.RandomState(0)
 hop = cfg.audio.hop_length
 pcm = jnp.asarray((rng.rand(B, T * hop) - 0.5).astype(np.float32))
