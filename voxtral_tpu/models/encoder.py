@@ -87,15 +87,22 @@ class EncoderState(NamedTuple):
 
     kv_dtype="int8" mode: rings are int8 with per-(slot, head) f32 scale
     tables k_scale/v_scale (L x [B, H, P]; None in float mode). Pending
-    blocks stay float; the fold quantizes (quant.py:quantize_kv) and the
-    fused attention kernel applies scales to score/probability columns."""
+    blocks are int8 TOO (quantized at chunk end, inside the program that
+    computed them — bit-identical to quantizing at fold time, since the
+    same float values are quantized either way), with their own scale
+    blocks pending_ks/vs; the fold is then a pure int8 copy. This halves
+    pending HBM (~10 MB/stream at 4B shapes — a stream's worth of
+    headroom at the 16 GB fit limit) vs float pending. The fused attention
+    kernel applies scales to score/probability columns."""
     k_ring: tuple        # L x [B, P, H*hd]
     v_ring: tuple        # L x [B, P, H*hd]
     k_scale: tuple | None  # L x [B, H, P] f32 (int8 mode only)
     v_scale: tuple | None
     slot_pos: jax.Array  # [B, P] int32 logical position per slot
-    pending_k: tuple       # L x [B, Sp, H*hd]
+    pending_k: tuple       # L x [B, Sp, H*hd] (int8 in int8 mode)
     pending_v: tuple       # L x [B, Sp, H*hd]
+    pending_ks: tuple | None  # L x [B, H, Sp] f32 (int8 mode only)
+    pending_vs: tuple | None
     pending_sp: jax.Array  # [B, Sp] int32
     pending_adv: jax.Array  # [] int32
     write_ctr: jax.Array  # [] int32 shared lockstep cursor
@@ -131,10 +138,14 @@ def init_encoder_state(cfg: VoxtralConfig, ring_size: int = 1280,
         v_scale=tuple(jnp.ones((batch, e.heads, phys), jnp.float32)
                       for _ in range(e.layers)) if int8 else None,
         slot_pos=jnp.full((batch, phys), SLOT_INVALID, jnp.int32),
-        pending_k=tuple(jnp.zeros((batch, pending_size, e.attn_dim), dt)
+        pending_k=tuple(jnp.zeros((batch, pending_size, e.attn_dim), ring_dt)
                         for _ in range(e.layers)),
-        pending_v=tuple(jnp.zeros((batch, pending_size, e.attn_dim), dt)
+        pending_v=tuple(jnp.zeros((batch, pending_size, e.attn_dim), ring_dt)
                         for _ in range(e.layers)),
+        pending_ks=tuple(jnp.ones((batch, e.heads, pending_size), jnp.float32)
+                         for _ in range(e.layers)) if int8 else None,
+        pending_vs=tuple(jnp.ones((batch, e.heads, pending_size), jnp.float32)
+                         for _ in range(e.layers)) if int8 else None,
         pending_sp=jnp.full((batch, pending_size), SLOT_INVALID, jnp.int32),
         pending_adv=jnp.zeros((), jnp.int32),
         write_ctr=jnp.zeros((), jnp.int32),
@@ -186,25 +197,26 @@ def encoder_incremental(enc_params: dict, cfg: VoxtralConfig,
 
     # Fold the previous chunk's pending KV into the rings BEFORE any ring
     # read: ONE in-place dynamic_update_slice per ring at ctr % ring (the
-    # overflow margin guarantees no wrap; see models/decoder.py). In int8
-    # mode the float pending is quantized here and the per-slot scales land
-    # in the scale tables at the same slots.
+    # overflow margin guarantees no wrap; see models/decoder.py). The
+    # pending block is stored in the ring's own dtype (int8 mode quantizes
+    # at chunk end, below), so the fold is always a pure copy.
     int8_kv = state.k_scale is not None
     slot0 = state.write_ctr % ring
 
-    def fold(ring_t, pend_t, scale_t):
+    def fold(ring_t, pend_t, scale_t, pscale_t):
+        rings = tuple(jax.lax.dynamic_update_slice(r, p, (0, slot0, 0))
+                      for r, p in zip(ring_t, pend_t))
         if not int8_kv:
-            return tuple(jax.lax.dynamic_update_slice(r, p, (0, slot0, 0))
-                         for r, p in zip(ring_t, pend_t)), None
-        rings, scales = [], []
-        for r, p, sc in zip(ring_t, pend_t, scale_t):
-            qv, qs = quantize_kv(p, e.heads, e.head_dim)
-            rings.append(jax.lax.dynamic_update_slice(r, qv, (0, slot0, 0)))
-            scales.append(jax.lax.dynamic_update_slice(sc, qs, (0, 0, slot0)))
-        return tuple(rings), tuple(scales)
+            return rings, None
+        scales = tuple(
+            jax.lax.dynamic_update_slice(sc, ps, (0, 0, slot0))
+            for sc, ps in zip(scale_t, pscale_t))
+        return rings, scales
 
-    krs, kss = fold(state.k_ring, state.pending_k, state.k_scale)
-    vrs, vss = fold(state.v_ring, state.pending_v, state.v_scale)
+    krs, kss = fold(state.k_ring, state.pending_k, state.k_scale,
+                    state.pending_ks)
+    vrs, vss = fold(state.v_ring, state.pending_v, state.v_scale,
+                    state.pending_vs)
     rsp = jax.lax.dynamic_update_slice(
         state.slot_pos, state.pending_sp, (0, slot0))
     base = state.write_ctr + state.pending_adv
@@ -213,14 +225,28 @@ def encoder_incremental(enc_params: dict, cfg: VoxtralConfig,
     nv_slots = jnp.minimum(state.write_ctr + sp_cap, phys)
 
     h = h_chunk
+    float_dt = h_chunk.dtype
     chunk_ks, chunk_vs = [], []
+    chunk_kss, chunk_vss = [], []      # int8 mode: per-chunk scale blocks
     for l, lp in enumerate(enc_params["layers"]):
         x = rms_norm(h, lp["attn_norm"], e.norm_eps)
         q, k, v = _attn_block(lp, x, e, cos, sin)
-        kd = k.reshape(b, s, e.attn_dim).astype(state.pending_k[l].dtype)
-        vd = v.reshape(b, s, e.attn_dim).astype(state.pending_v[l].dtype)
-        chunk_ks.append(kd)
-        chunk_vs.append(vd)
+        kd = k.reshape(b, s, e.attn_dim).astype(float_dt)
+        vd = v.reshape(b, s, e.attn_dim).astype(float_dt)
+        if int8_kv:
+            # Quantize the chunk's KV NOW (same float values the fold used
+            # to quantize — bit-identical rings) so the pending block is
+            # int8: half the pending HBM, and the next fold is a copy.
+            # In-chunk attention still sees the float kd/vd below.
+            qk, qks = quantize_kv(kd, e.heads, e.head_dim)
+            qv_, qvs = quantize_kv(vd, e.heads, e.head_dim)
+            chunk_ks.append(qk)
+            chunk_vs.append(qv_)
+            chunk_kss.append(qks)
+            chunk_vss.append(qvs)
+        else:
+            chunk_ks.append(kd)
+            chunk_vs.append(vd)
         # Current chunk K/V ride as extra float columns (intra-chunk
         # causality via the position mask); the ring itself stays read-only.
         attn = ring_attention(
@@ -244,14 +270,26 @@ def encoder_incremental(enc_params: dict, cfg: VoxtralConfig,
                    for p, c in zip(state.pending_v, chunk_vs))
         psp = jax.lax.dynamic_update_slice(
             jnp.full_like(state.pending_sp, SLOT_INVALID), chunk_pos, (0, 0))
+        if int8_kv:
+            pks = tuple(
+                jax.lax.dynamic_update_slice(jnp.ones_like(p), c, (0, 0, 0))
+                for p, c in zip(state.pending_ks, chunk_kss))
+            pvs = tuple(
+                jax.lax.dynamic_update_slice(jnp.ones_like(p), c, (0, 0, 0))
+                for p, c in zip(state.pending_vs, chunk_vss))
     else:
         pk, pv, psp = tuple(chunk_ks), tuple(chunk_vs), chunk_pos
+        if int8_kv:
+            pks, pvs = tuple(chunk_kss), tuple(chunk_vss)
+    if not int8_kv:
+        pks = pvs = None
     # Cursor advances by the longest valid prefix: trailing padding columns
     # are re-written by the next chunk, so a B=1 stream never lags its
     # cursor (zero burn); heterogeneous fleets burn by their lag fraction.
     new_state = EncoderState(
         k_ring=krs, v_ring=vrs, k_scale=kss, v_scale=vss, slot_pos=rsp,
-        pending_k=pk, pending_v=pv, pending_sp=psp,
+        pending_k=pk, pending_v=pv, pending_ks=pks, pending_vs=pvs,
+        pending_sp=psp,
         pending_adv=jnp.max(jnp.minimum(n_valid, s)).astype(jnp.int32),
         write_ctr=base,
         next_pos=state.next_pos + jnp.minimum(n_valid, s))

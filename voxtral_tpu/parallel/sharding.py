@@ -151,6 +151,8 @@ def fleet_state_pspecs(cfg: VoxtralConfig,
             slot_pos=P(DATA),
             pending_k=(ring,) * enc_l,
             pending_v=(ring,) * enc_l,
+            pending_ks=(scale,) * enc_l if int8 else None,
+            pending_vs=(scale,) * enc_l if int8 else None,
             pending_sp=P(DATA), pending_adv=P(), write_ctr=P(),
             next_pos=P(DATA)),
         decode=DecodeState(
