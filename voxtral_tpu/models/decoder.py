@@ -530,7 +530,20 @@ def decode_scan(dec_params: dict, cfg: VoxtralConfig, state: DecodeState,
     aux_out = {}
     if collect_topk > 0:
         vals, idxs, best = aux
-        aux_out = {"topk_vals": jnp.swapaxes(vals, 0, 1),
-                   "topk_idx": jnp.swapaxes(idxs, 0, 1),
-                   "best_logit": jnp.swapaxes(best, 0, 1)}
+        vals = jnp.swapaxes(vals, 0, 1)            # [B, N, k]
+        idxs = jnp.swapaxes(idxs, 0, 1)
+        best = jnp.swapaxes(best, 0, 1)            # [B, N]
+        aux_out = {"topk_vals": vals, "topk_idx": idxs, "best_logit": best}
+        # One-transfer wire form: on a high-fixed-cost link every
+        # device->host read costs ~25 ms regardless of size (SPEED.md
+        # serving-latency breakdown), so callers fetch THIS single array
+        # instead of tokens + 3 aux reads. int32 columns ride as f32 bit
+        # patterns (bitcast, exact).
+        f = jnp.float32
+        aux_out["packed"] = jnp.concatenate([
+            jax.lax.bitcast_convert_type(tokens, f)[:, :, None],
+            best[:, :, None].astype(f),
+            vals.astype(f),
+            jax.lax.bitcast_convert_type(idxs, f),
+        ], axis=-1)                                # [B, N, 2k+2]
     return new_state, tokens, aux_out

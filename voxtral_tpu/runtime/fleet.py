@@ -287,12 +287,55 @@ def fleet_bootstrap_pcm(params, cfg: VoxtralConfig, state: FleetState,
                                   stop_at_eos=stop_at_eos)
 
 
-@partial(jax.jit, static_argnames=("cfg", "stop_at_eos", "collect_topk"),
+def pack_wire(pcm: "np.ndarray", active: "np.ndarray",
+              forced: "np.ndarray") -> "np.ndarray":
+    """Host-side single-upload wire row: [pcm | active | forced] per
+    stream. On a high-fixed-cost link every host->device transfer costs
+    ~25 ms regardless of size (SPEED.md serving-latency breakdown), so the
+    manager ships ONE array per step instead of three.
+
+    f32 wire: active as 0/1, forced as exact float ints (|id| < 2^24).
+    s16 wire: active as 0/1, forced split lo/hi int16 halves."""
+    import numpy as np
+
+    if pcm.dtype == np.int16:
+        lo = (forced & 0xffff).astype(np.int16)
+        hi = (forced >> 16).astype(np.int16)
+        return np.concatenate(
+            [pcm, active[:, None].astype(np.int16), lo, hi], axis=1)
+    return np.concatenate(
+        [pcm, active[:, None].astype(np.float32),
+         forced.astype(np.float32)], axis=1)
+
+
+def _unpack_wire(cfg: VoxtralConfig, wire: jax.Array):
+    """Inverse of pack_wire, on device (exact)."""
+    hop = cfg.audio.hop_length
+    s16 = wire.dtype == jnp.int16
+    b, w = wire.shape
+    # w = n*8*hop + 1 + n (f32) or n*8*hop + 1 + 2n (s16)
+    n = (w - 1) // (8 * hop + (2 if s16 else 1))
+    n_samp = n * 8 * hop
+    pcm = wire[:, :n_samp]
+    active = wire[:, n_samp] != 0
+    rest = wire[:, n_samp + 1:]
+    if s16:
+        lo = rest[:, :n].astype(jnp.int32)
+        hi = rest[:, n:].astype(jnp.int32)
+        forced = (hi << 16) | (lo & 0xffff)
+    else:
+        forced = rest.astype(jnp.int32)
+    return pcm, active, forced
+
+
+@partial(jax.jit, static_argnames=("cfg", "stop_at_eos", "collect_topk",
+                                   "wire_packed"),
          donate_argnums=(2,))
 def fleet_step_masked(params, cfg: VoxtralConfig, state: FleetState,
                       pcm: jax.Array, active: jax.Array,
                       forced_tokens: jax.Array, t_ada: jax.Array, *,
-                      stop_at_eos: bool = False, collect_topk: int = 0):
+                      stop_at_eos: bool = False, collect_topk: int = 0,
+                      wire_packed: bool = False):
     """Serving step with per-stream participation (runtime/manager.py).
 
     pcm: [B, T*hop] (rows of inactive streams are ignored zeros);
@@ -304,7 +347,12 @@ def fleet_step_masked(params, cfg: VoxtralConfig, state: FleetState,
     (prompt replay for per-stream starts and watchdog restarts —
     the reference's stream_reset + re-prefill, voxtral.c:778-824, done
     here as forced-token decode so ONE program serves every stream state).
+
+    wire_packed: pcm is a pack_wire row block carrying active/forced too
+    (single upload); the active/forced args are ignored placeholders.
     """
+    if wire_packed:
+        pcm, active, forced_tokens = _unpack_wire(cfg, pcm)
     b, n_samp = pcm.shape
     t = n_samp // cfg.audio.hop_length
     n = t // 8

@@ -53,7 +53,8 @@ from voxtral_tpu.parallel.sharding import DATA
 from voxtral_tpu.models.decoder import ada_scales, time_conditioning
 from voxtral_tpu.runtime.alts import select_alts
 from voxtral_tpu.runtime.fleet import (
-    fleet_reset_slots, fleet_step_masked, init_fleet_state, pcm_stream_skew,
+    fleet_reset_slots, fleet_step_masked, init_fleet_state, pack_wire,
+    pcm_stream_skew,
 )
 
 MAX_DECODE_KV = 2000              # voxtral.c:412
@@ -73,11 +74,14 @@ class _Staged:
     previous step's tokens land can push the chunk back into the slot's
     buffer (the staged row is then masked off and re-cut after the
     restart, exactly like the unpipelined order of events)."""
-    pcm_dev: object                        # device [B, chunk_samp]
+    pcm_dev: object                        # device packed wire rows
     active: "np.ndarray"                   # [B] bool (host; mutable)
-    forced: "np.ndarray"                   # [B, n] int32
+    forced: "np.ndarray"                   # [B, n] int32 (host copy)
     part: list                             # participating sids
     raw: dict                              # sid -> host samples row
+    pcm_host: "np.ndarray" = None          # [B, chunk] wire-dtype rows
+    dirty: bool = False                    # active/forced edited after the
+    # wire upload (watchdog un-staging) -> re-pack + re-upload at dispatch
 
 
 @dataclasses.dataclass
@@ -289,22 +293,34 @@ class FleetManager:
             # decode outside continuous mode). Continuous mode instead
             # restarts via the host watchdog at the chunk boundary.
             t0 = time.perf_counter()
+            if staged.dirty:
+                # a watchdog restart edited the staged rows after their
+                # wire upload — re-pack and re-upload (rare path)
+                staged.pcm_dev = self._put(
+                    pack_wire(staged.pcm_host, staged.active, staged.forced),
+                    P(DATA, None))
+                staged.dirty = False
             self.state, tokens, aux = fleet_step_masked(
                 self.params, self.cfg, self.state, staged.pcm_dev,
-                self._put(staged.active, P(DATA)),
-                self._put(staged.forced, P(DATA, None)),
-                self.t_ada, collect_topk=topk,
-                stop_at_eos=not self.continuous)
+                None, None, self.t_ada, collect_topk=topk,
+                stop_at_eos=not self.continuous, wire_packed=True)
             inflight = {sid: int((staged.forced[sid] >= 0).sum())
                         for sid in staged.part}
             self._staged_next = self._stage_sync(inflight)  # overlaps step
-            tokens = self._fetch(tokens)               # wait for the step
-            self._last_step_ms = (time.perf_counter() - t0) * 1e3
             alts = None
             if topk:
-                alts = (self._fetch(aux["topk_vals"]),
-                        self._fetch(aux["topk_idx"]),
-                        self._fetch(aux["best_logit"]))
+                # ONE download: tokens + best + top-k vals/idx ride a
+                # single packed f32 array (int32 cols as bit patterns)
+                pk = self._fetch(aux["packed"])
+                tokens = np.ascontiguousarray(pk[:, :, 0]).view(np.int32)
+                k = self.n_alt - 1
+                alts = (pk[:, :, 2:2 + k],
+                        np.ascontiguousarray(pk[:, :, 2 + k:2 + 2 * k])
+                        .view(np.int32),
+                        pk[:, :, 1])
+            else:
+                tokens = self._fetch(tokens)           # wait for the step
+            self._last_step_ms = (time.perf_counter() - t0) * 1e3
             self.steps += 1
             for sid in staged.part:
                 self._consume(sid, tokens[sid], staged.forced[sid],
@@ -373,8 +389,12 @@ class FleetManager:
             rl = s.replay_left - inflight.get(sid, 0)
             if rl > 0:
                 forced[sid, :min(rl, n)] = self.cfg.streaming.streaming_pad
-        return _Staged(pcm_dev=self._put(pcm, P(DATA, None)), active=active,
-                       forced=forced, part=part, raw=raw)
+        # ONE upload per step: pcm + active + forced packed into a single
+        # row block (pack_wire) — each extra transfer costs ~25 ms of
+        # fixed link latency (SPEED.md serving-latency breakdown)
+        wire = pack_wire(pcm, active, forced)
+        return _Staged(pcm_dev=self._put(wire, P(DATA, None)), active=active,
+                       forced=forced, part=part, raw=raw, pcm_host=pcm)
 
     def _queue_reset(self, sid: int, *, full: bool):
         """Defer a per-slot device reset to the next step boundary (full
@@ -447,6 +467,8 @@ class FleetManager:
             nxt.active[sid] = False
             nxt.part.remove(sid)
             nxt.forced[sid] = -1
+            nxt.dirty = True       # wire already uploaded: re-pack at
+            # dispatch (poll) so the device sees the edited rows
             if not nxt.part:
                 self._staged_next = None
         self._queue_reset(sid, full=full)

@@ -472,12 +472,18 @@ class VoxStream:
                     self.params["decoder"], cfg, self.decode_state,
                     fpad[None], jnp.asarray([n], jnp.int32), self.t_ada,
                     collect_topk=topk, stop_at_eos=True)
-                toks = np.asarray(jax.device_get(tokens[0]))[:n]
                 if topk:
-                    tvals = np.asarray(jax.device_get(aux["topk_vals"][0]))[:n]
-                    tidx = np.asarray(jax.device_get(aux["topk_idx"][0]))[:n]
-                    tbest = np.asarray(
-                        jax.device_get(aux["best_logit"][0]))[:n]
+                    # ONE device->host read: tokens + best + top-k ride the
+                    # packed aux (each read costs ~25 ms of fixed link
+                    # latency; see SPEED.md serving-latency breakdown)
+                    pk = np.asarray(jax.device_get(aux["packed"][0]))[:n]
+                    toks = np.ascontiguousarray(pk[:, 0]).view(np.int32)
+                    tbest = pk[:, 1]
+                    tvals = pk[:, 2:2 + topk]
+                    tidx = np.ascontiguousarray(pk[:, 2 + topk:]).view(
+                        np.int32)
+                else:
+                    toks = np.asarray(jax.device_get(tokens[0]))[:n]
                 self.last_decode_sample = self.real_samples_fed
                 for i, t in enumerate(toks):
                     if t < 0:
