@@ -180,7 +180,9 @@ def main():
         log(f"  {r['audio_s_per_s']:.1f} audio-s/s | step {r['step_ms']:.1f} ms")
         bf16["bf16_audio_s_per_s"] = round(r["audio_s_per_s"], 2)
         bf16["bf16_streams"] = b_strict
-        b_i8 = int(os.environ.get("VOX_BENCH_BF16_I8_STREAMS", "24"))
+        # 26 streams fit since the int8 encoder pending block (08-20):
+        # 117.7 audio-s/s measured vs 112.7 at B=25 (SPEED.md bf16 campaign)
+        b_i8 = int(os.environ.get("VOX_BENCH_BF16_I8_STREAMS", "26"))
         log(f"bf16 weights fleet (int8 KV rings), {b_i8} streams:")
         r = bench_fleet(params, cfg, t_ada, b_i8, chunk_mel,
                         enc_ring=ENC_RING, dec_ring=2048, warmup=2, iters=5,

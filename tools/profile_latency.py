@@ -4,13 +4,16 @@ round-2 weak #3: p50 141 ms at the API surface vs ~72 ms raw step — where
 do the extra ~70 ms go?).
 
 Splits one FleetManager feed->token round into phases, each synced for
-attribution (upload: block_until_ready; downloads: np.asarray):
+attribution (upload: block_until_ready; downloads: np.asarray). Phases
+match the PACKED wire (one upload, one download per step — each extra
+transfer costs ~25 ms of fixed link latency on this tunnel):
 
-  stage+pcm_up   cut the chunk + host->device PCM upload (tunnel fixed cost)
-  ctrl_up        active/forced row uploads (2 more small transfers)
-  step+tok_down  fleet_step_masked dispatch + device step + token download
-  alt_down       the 3 alt-token aux downloads (topk vals/idx/best)
-  host_walk      _consume: classification, alt cutoff walk, queue append
+  stage+wire_up  cut the chunk + pack_wire (pcm‖active‖forced) + the ONE
+                 host->device upload
+  step+aux_down  fleet_step_masked dispatch + device step + the ONE packed
+                 aux download (tokens + best + top-k vals/idx)
+  host_walk      unpack bit-pattern columns + _consume: classification,
+                 alt cutoff walk, queue append
 
 Then measures UNSYNCED feed+poll p50/p95 for config variants: alt on/off,
 chunk_tokens 6/2, wire f32/s16 — the "latency mode" tradeoff table.
@@ -26,10 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import PartitionSpec as P
 
 from voxtral_tpu.config import voxtral_4b
-from voxtral_tpu.parallel.sharding import DATA
 from voxtral_tpu.quant import quantize_params
 from voxtral_tpu.runtime.fleet import fleet_step_masked
 from voxtral_tpu.runtime.manager import FleetManager
@@ -64,13 +65,15 @@ def feed_poll(mgr, rng):
 
 
 def breakdown(mgr, rng, iters=ITERS):
-    """Synced per-phase timing of the poll() pipeline at B=1."""
+    """Synced per-phase timing of the poll() pipeline at B=1 (packed wire:
+    one upload, one download per step — mirrors FleetManager.poll)."""
     acc = {}
 
     def mark(key, t0):
         acc[key] = acc.get(key, 0.0) + (pc() - t0) * 1e3
 
     topk = mgr.n_alt - 1 if mgr.n_alt > 1 else 0
+    k = topk
     for _ in range(iters):
         pcm = ((rng.rand(mgr.chunk_samp) - 0.5) * 0.2).astype(np.float32)
         mgr.feed(0, pcm)
@@ -78,27 +81,24 @@ def breakdown(mgr, rng, iters=ITERS):
         t0 = pc()
         staged = mgr._stage({})
         jax.block_until_ready(staged.pcm_dev)
-        mark("stage+pcm_up", t0)
-
-        t0 = pc()
-        act = mgr._put(staged.active, P(DATA))
-        frc = mgr._put(staged.forced, P(DATA, None))
-        jax.block_until_ready((act, frc))
-        mark("ctrl_up", t0)
+        mark("stage+wire_up", t0)
 
         t0 = pc()
         mgr.state, tokens, aux = fleet_step_masked(
-            mgr.params, mgr.cfg, mgr.state, staged.pcm_dev, act, frc,
-            mgr.t_ada, collect_topk=topk, stop_at_eos=not mgr.continuous)
-        tokens = np.asarray(tokens)
-        mark("step+tok_down", t0)
-
+            mgr.params, mgr.cfg, mgr.state, staged.pcm_dev, None, None,
+            mgr.t_ada, collect_topk=topk, stop_at_eos=not mgr.continuous,
+            wire_packed=True)
         alts = None
         if topk:
-            t0 = pc()
-            alts = (np.asarray(aux["topk_vals"]), np.asarray(aux["topk_idx"]),
-                    np.asarray(aux["best_logit"]))
-            mark("alt_down", t0)
+            pk = np.asarray(aux["packed"])
+            tokens = np.ascontiguousarray(pk[:, :, 0]).view(np.int32)
+            alts = (pk[:, :, 2:2 + k],
+                    np.ascontiguousarray(pk[:, :, 2 + k:2 + 2 * k])
+                    .view(np.int32),
+                    pk[:, :, 1])
+        else:
+            tokens = np.asarray(tokens)
+        mark("step+aux_down", t0)
 
         t0 = pc()
         mgr.steps += 1
@@ -107,17 +107,22 @@ def breakdown(mgr, rng, iters=ITERS):
                          None if alts is None else
                          (alts[0][sid], alts[1][sid], alts[2][sid]))
         mark("host_walk", t0)
-    return {k: v / iters for k, v in acc.items()}
+    return {k2: v / iters for k2, v in acc.items()}
 
 
-def main():
+def main(params=None, cfg=None):
+    """params: pre-built Q8 param tree (e.g. from a combo runner that
+    already paid the ~16 min device init on this tunnel); built here if
+    absent."""
     log(f"device: {jax.devices()[0]}; kv={KV}")
-    cfg = voxtral_4b(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
-    t0 = pc()
-    params = quantize_params(random_params_device(cfg, seed=0))
-    np.asarray(jax.device_get(
-        jax.tree_util.tree_leaves(params)[0].ravel()[:1]))
-    log(f"Q8 params ready in {pc() - t0:.1f}s")
+    if cfg is None:
+        cfg = voxtral_4b(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    if params is None:
+        t0 = pc()
+        params = quantize_params(random_params_device(cfg, seed=0))
+        np.asarray(jax.device_get(
+            jax.tree_util.tree_leaves(params)[0].ravel()[:1]))
+        log(f"Q8 params ready in {pc() - t0:.1f}s")
 
     rng = np.random.RandomState(1)
 
