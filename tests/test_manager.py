@@ -465,3 +465,37 @@ def test_manager_monitor_hook(tiny_cfg, tiny_params):
     restart_syms = [x for x in syms if x[0] in "↺⟳↯⌚"]
     assert any(x.startswith("⟳") for x in restart_syms), syms
     assert all(len(x) == 2 and x[1] in "✂♻" for x in restart_syms), syms
+
+
+def test_pack_wire_roundtrip(tiny_cfg):
+    """pack_wire (host) -> _unpack_wire (device) is exact for both wire
+    dtypes, including the -1 'no forced token' sentinel and forced ids with
+    a set bit 16 (the s16 wire splits forced into lo/hi int16 halves)."""
+    import jax.numpy as jnp
+
+    from voxtral_tpu.runtime.fleet import _unpack_wire, pack_wire
+
+    hop = tiny_cfg.audio.hop_length
+    n = 6                                   # tokens per chunk
+    b = 3
+    rng = np.random.RandomState(7)
+    pcm_f = ((rng.rand(b, n * 8 * hop) - 0.5) * 0.5).astype(np.float32)
+    active = np.array([True, False, True])
+    forced = np.full((b, n), -1, np.int32)
+    forced[0, :3] = [0, 70000, 131071]      # bit 16 set + extremes
+    forced[2, :] = rng.randint(0, 131072, n)
+
+    w = pack_wire(pcm_f, active, forced)
+    p2, a2, f2 = (np.asarray(x)
+                  for x in _unpack_wire(tiny_cfg, jnp.asarray(w)))
+    assert np.array_equal(p2, pcm_f)
+    assert np.array_equal(a2, active)
+    assert np.array_equal(f2, forced)
+
+    pcm_s = np.clip(np.rint(pcm_f * 32768.0), -32768, 32767).astype(np.int16)
+    w = pack_wire(pcm_s, active, forced)
+    p2, a2, f2 = (np.asarray(x)
+                  for x in _unpack_wire(tiny_cfg, jnp.asarray(w)))
+    assert np.array_equal(p2, pcm_s)
+    assert np.array_equal(a2, active)
+    assert np.array_equal(f2, forced)
