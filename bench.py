@@ -128,19 +128,33 @@ def bench_latency_serving(params, cfg, dec_ring, chunk_tokens=6,
 
     def feed_poll():
         pcm = ((rng.rand(chunk) - 0.5) * 0.2).astype(np.float32)
+        s0 = mgr.steps
         t0 = time.perf_counter()
         mgr.feed(sid, pcm)
         mgr.poll()
-        return (time.perf_counter() - t0) * 1e3
+        return (time.perf_counter() - t0) * 1e3, mgr.steps - s0
 
     for _ in range(warmup):
         feed_poll()
     n0 = mgr.slots[sid].generated
-    samples = sorted(feed_poll() for _ in range(iters))
+    raw = [feed_poll() for _ in range(iters)]
     emitted = mgr.slots[sid].generated - n0
+    samples = sorted(ms for ms, _ in raw)
+    # Random weights make every token control-class, so the reference's
+    # >=64-non-text streak watchdog (voxtral.c:1189-1239) full-resets every
+    # ~11 feeds; that feed's poll re-prefills the prompt pad + pushed-back
+    # audio in a single multi-step burst (~6x one step — measured by
+    # tools/profile_latency_trace.py). Report the steady (single-step)
+    # distribution and the recovery burst separately: real-weight streams
+    # emit text and hit the streak watchdog only on genuine stalls.
+    steady = sorted(ms for ms, st in raw if st <= 1) or samples
+    bursts = [ms for ms, st in raw if st > 1]
     return {
         "p50_ms": samples[len(samples) // 2],
         "p95_ms": samples[int(len(samples) * 0.95)],
+        "steady_p95_ms": steady[int(len(steady) * 0.95)],
+        "restart_recovery_ms": (sum(bursts) / len(bursts)) if bursts else 0.0,
+        "restart_recoveries": len(bursts),
         "chunk_s": chunk_tokens * 0.08,
         "tokens_per_feed": emitted / iters,
     }
@@ -243,6 +257,9 @@ def main():
     lat = bench_latency_serving(params, cfg, dec_ring=2048,
                                 kv_dtype=kv_dtype)
     log(f"  p50 {lat['p50_ms']:.1f} ms | p95 {lat['p95_ms']:.1f} ms "
+        f"(single-step p95 {lat['steady_p95_ms']:.1f} ms; "
+        f"{lat['restart_recoveries']} watchdog-restart recovery bursts "
+        f"averaging {lat['restart_recovery_ms']:.0f} ms — see bench.py note) "
         f"audio-in -> token-out per {lat['chunk_s']:.2f}s feed "
         f"({lat['tokens_per_feed']:.1f} tok/feed)")
 
@@ -263,6 +280,12 @@ def main():
             # alt top-k active), not the raw step — see bench_latency_serving
             "token_latency_p50_ms": round(lat["p50_ms"], 1),
             "token_latency_p95_ms": round(lat["p95_ms"], 1),
+            # p95 over single-step feeds; raw p95 above includes watchdog
+            # full-reset recovery bursts (the random-weight workload trips
+            # the >=64-non-text streak restart every ~11 feeds; real-weight
+            # streams emit text and restart only on genuine stalls)
+            "token_latency_steady_p95_ms": round(lat["steady_p95_ms"], 1),
+            "restart_recovery_ms": round(lat["restart_recovery_ms"], 1),
             "streams": batch,
             "hosts": 1, "chips": 1,
             **bf16,
