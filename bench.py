@@ -147,12 +147,21 @@ def bench_latency_serving(params, cfg, dec_ring, chunk_tokens=6,
     # tools/profile_latency_trace.py). Report the steady (single-step)
     # distribution and the recovery burst separately: real-weight streams
     # emit text and hit the streak watchdog only on genuine stalls.
-    steady = sorted(ms for ms, st in raw if st <= 1) or samples
+    steady = sorted(ms for ms, st in raw if st <= 1)
     bursts = [ms for ms, st in raw if st > 1]
+    if not steady:
+        # every measured feed was a multi-step burst: there IS no
+        # single-step distribution to report — say so instead of silently
+        # reusing the burst-inclusive samples (ADVICE r3)
+        log("  WARNING: no single-step feeds in the latency sample; "
+            "steady_p95_ms is null")
+        steady_p95 = None
+    else:
+        steady_p95 = steady[int(len(steady) * 0.95)]
     return {
         "p50_ms": samples[len(samples) // 2],
         "p95_ms": samples[int(len(samples) * 0.95)],
-        "steady_p95_ms": steady[int(len(steady) * 0.95)],
+        "steady_p95_ms": steady_p95,
         "restart_recovery_ms": (sum(bursts) / len(bursts)) if bursts else 0.0,
         "restart_recoveries": len(bursts),
         "chunk_s": chunk_tokens * 0.08,
@@ -256,8 +265,9 @@ def main():
     log("streaming token latency (FleetManager B=1, -I 0.5, --alt 0.95):")
     lat = bench_latency_serving(params, cfg, dec_ring=2048,
                                 kv_dtype=kv_dtype)
+    sp95 = lat["steady_p95_ms"]
     log(f"  p50 {lat['p50_ms']:.1f} ms | p95 {lat['p95_ms']:.1f} ms "
-        f"(single-step p95 {lat['steady_p95_ms']:.1f} ms; "
+        f"(single-step p95 {'null' if sp95 is None else f'{sp95:.1f}'} ms; "
         f"{lat['restart_recoveries']} watchdog-restart recovery bursts "
         f"averaging {lat['restart_recovery_ms']:.0f} ms — see bench.py note) "
         f"audio-in -> token-out per {lat['chunk_s']:.2f}s feed "
@@ -284,7 +294,8 @@ def main():
             # full-reset recovery bursts (the random-weight workload trips
             # the >=64-non-text streak restart every ~11 feeds; real-weight
             # streams emit text and restart only on genuine stalls)
-            "token_latency_steady_p95_ms": round(lat["steady_p95_ms"], 1),
+            "token_latency_steady_p95_ms":
+                None if sp95 is None else round(sp95, 1),
             "restart_recovery_ms": round(lat["restart_recovery_ms"], 1),
             "streams": batch,
             "hosts": 1, "chips": 1,

@@ -6,10 +6,12 @@ weighted_step_ms, and the short/long split. RTF = processing / audio time
 (lower is better; the reference's exit bar is <= 0.40, SPEED.md:284-287).
 
 Default suite: the reference's bundled mini-suite clips
-(/root/reference/samples + samples/benchmark/night1968) or any WAV/OGG
-paths given on the command line. Without a real model dir, --random-init
-measures throughput with synthetic weights (tokens are meaningless but
-timing is weight-value independent).
+(/root/reference/samples + samples/benchmark/night1968) or any WAV paths
+given on the command line (non-WAV formats are decoded through ffmpeg
+when it is installed, as the reference does for its OGG samples).
+Without a real model dir, --random-init measures throughput with
+synthetic weights (tokens are meaningless but timing is weight-value
+independent).
 
 Usage:
   python tools/benchmark.py -d MODEL_DIR [-n REPEATS] [clips...]
@@ -39,10 +41,10 @@ def default_suite():
 
 
 def run_clip(params, cfg, tokenizer, path, interval, sc_kwargs):
-    from voxtral_tpu.audio import load_wav
+    from voxtral_tpu.audio import load_audio
     from voxtral_tpu.runtime import StreamConfig, VoxStream
 
-    audio = load_wav(path, cfg.audio.sample_rate)
+    audio = load_audio(path, cfg.audio.sample_rate)
     s = VoxStream(params, cfg, tokenizer=tokenizer,
                   stream_cfg=StreamConfig(interval=interval, **sc_kwargs))
     sr = cfg.audio.sample_rate

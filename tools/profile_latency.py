@@ -11,9 +11,15 @@ transfer costs ~25 ms of fixed link latency on this tunnel):
   stage+wire_up  cut the chunk + pack_wire (pcm‖active‖forced) + the ONE
                  host->device upload
   step+aux_down  fleet_step_masked dispatch + device step + the ONE packed
-                 aux download (tokens + best + top-k vals/idx)
-  host_walk      unpack bit-pattern columns + _consume: classification,
-                 alt cutoff walk, queue append
+                 aux download (tokens + best + top-k vals/idx), including
+                 the sub-ms host-side bit-pattern column unpack
+  host_walk      _consume: classification, alt cutoff walk, queue append
+
+Watchdog restarts queued by _consume are applied at the top of each
+iteration (mirroring poll's _apply_resets) and those recovery iterations
+are EXCLUDED from the phase averages — the breakdown characterizes the
+steady single-step pipeline; the burst cost is measured separately by
+tools/profile_latency_trace.py.
 
 Then measures UNSYNCED feed+poll p50/p95 for config variants: alt on/off,
 chunk_tokens 6/2, wire f32/s16 — the "latency mode" tradeoff table.
@@ -68,15 +74,24 @@ def breakdown(mgr, rng, iters=ITERS):
     """Synced per-phase timing of the poll() pipeline at B=1 (packed wire:
     one upload, one download per step — mirrors FleetManager.poll)."""
     acc = {}
+    cur = {}
 
     def mark(key, t0):
-        acc[key] = acc.get(key, 0.0) + (pc() - t0) * 1e3
+        cur[key] = cur.get(key, 0.0) + (pc() - t0) * 1e3
 
     topk = mgr.n_alt - 1 if mgr.n_alt > 1 else 0
     k = topk
+    measured = 0
     for _ in range(iters):
         pcm = ((rng.rand(mgr.chunk_samp) - 0.5) * 0.2).astype(np.float32)
         mgr.feed(0, pcm)
+
+        # apply queued watchdog/attach resets (as poll() does) and skip
+        # the recovery feed's phases: its multi-step burst would smear the
+        # steady-pipeline attribution (ADVICE r3)
+        recovery = bool(mgr._pending_resets)
+        mgr._apply_resets()
+        cur = {}
 
         t0 = pc()
         staged = mgr._stage({})
@@ -107,7 +122,11 @@ def breakdown(mgr, rng, iters=ITERS):
                          None if alts is None else
                          (alts[0][sid], alts[1][sid], alts[2][sid]))
         mark("host_walk", t0)
-    return {k2: v / iters for k2, v in acc.items()}
+        if not recovery:
+            measured += 1
+            for k2, v in cur.items():
+                acc[k2] = acc.get(k2, 0.0) + v
+    return {k2: v / max(measured, 1) for k2, v in acc.items()}
 
 
 def main(params=None, cfg=None):

@@ -49,6 +49,7 @@ def main():
                                          cfg.decoder.dim))
 
     if not skip_b27:
+        prev_unroll = decoder._SCAN_UNROLL
         for unroll in (1, 2):
             decoder._SCAN_UNROLL = unroll
             jax.clear_caches()
@@ -62,7 +63,7 @@ def main():
             except Exception as e:
                 log(f"  FAILED unroll={unroll} B=27: "
                     f"{type(e).__name__}: {str(e)[:160]}")
-        decoder._SCAN_UNROLL = 4
+        decoder._SCAN_UNROLL = prev_unroll
         jax.clear_caches()
 
     t0 = time.perf_counter()

@@ -55,7 +55,7 @@ def main(argv=None):
     phrases = args.phrase or DEFAULT_PHRASES
 
     import jax.numpy as jnp
-    from voxtral_tpu.audio import load_wav
+    from voxtral_tpu.audio import load_audio
     from voxtral_tpu.config import voxtral_4b
     from voxtral_tpu.tokenizer import Tokenizer
     from voxtral_tpu.weights import load_params
@@ -64,7 +64,7 @@ def main(argv=None):
     params = load_params(
         os.path.join(args.model_dir, "consolidated.safetensors"), cfg)
     tokenizer = Tokenizer(os.path.join(args.model_dir, "tekken.json"))
-    audio = load_wav(args.input, cfg.audio.sample_rate)
+    audio = load_audio(args.input, cfg.audio.sample_rate)
 
     failures = 0
     for name, interval in (("batch-ish (1s chunks)", 2.0),

@@ -71,3 +71,23 @@ def load_wav(path: str, target_rate: int = 16000) -> np.ndarray:
     with open(path, "rb") as f:
         samples, rate = parse_wav_bytes(f.read())
     return resample_linear(samples, rate, target_rate)
+
+
+def load_audio(path: str, target_rate: int = 16000) -> np.ndarray:
+    """load_wav, with an ffmpeg-subprocess fallback for non-WAV containers
+    (OGG etc.) — the same dependency the reference needs for its OGG
+    samples (its loader is WAV-only too; runtest.sh pipes through ffmpeg).
+    Raises ValueError if the file is not WAV and ffmpeg is unavailable."""
+    with open(path, "rb") as f:
+        head = f.read(12)
+    if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+        return load_wav(path, target_rate)
+    import shutil
+    import subprocess
+    if shutil.which("ffmpeg") is None:
+        raise ValueError(f"{path}: not a WAV file and ffmpeg is not installed")
+    out = subprocess.run(
+        ["ffmpeg", "-v", "error", "-i", path, "-f", "f32le", "-ac", "1",
+         "-ar", str(target_rate), "-"],
+        check=True, stdout=subprocess.PIPE).stdout
+    return np.frombuffer(out, dtype="<f4").astype(np.float32)

@@ -102,10 +102,10 @@ def build(args):
 
 
 def run_file(args, params, cfg, tokenizer):
-    from voxtral_tpu.audio import load_wav
+    from voxtral_tpu.audio import load_audio
     from voxtral_tpu.runtime import StreamConfig, VoxStream
 
-    audio = load_wav(args.input, cfg.audio.sample_rate)
+    audio = load_audio(args.input, cfg.audio.sample_rate)
     log(args, 1, f"audio: {len(audio)/cfg.audio.sample_rate:.1f}s")
 
     if args.batch:

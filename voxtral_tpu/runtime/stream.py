@@ -336,7 +336,8 @@ class VoxStream:
         self._mon("▶")
 
     def _encode_slice(self, mel_slice: np.ndarray):
-        """Run one <=512-frame slice through conv stem + encoder + adapter."""
+        """Run one slice (<= MEL_BUCKETS[-1] = 256 frames) through conv
+        stem + encoder + adapter."""
         cfg = self.cfg
         self.conv_initialized = True
         m = mel_slice.shape[0]
