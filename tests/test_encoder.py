@@ -73,3 +73,31 @@ def test_incremental_encoder_padding_mask(tiny_cfg, tiny_params):
         pos += size
     inc = np.concatenate(outs)
     np.testing.assert_allclose(inc, np.asarray(batch_out), atol=3e-5, rtol=1e-4)
+
+
+def test_incremental_encoder_int4_ring_close_to_batch(tiny_cfg, tiny_params):
+    """int4-packed encoder rings (quant.py:quantize_kv_int4): the chunked
+    encoder with nibble-packed KV must track the full-precision batch
+    forward within quantization tolerance (int4 is lossy by design — the
+    pin here is that packing/unpacking/scales compose correctly through
+    fold + ring attention, incl. ring wrap)."""
+    rng = np.random.RandomState(11)
+    s = 96
+    h_full = jnp.asarray(rng.randn(s, tiny_cfg.encoder.dim).astype(np.float32))
+    batch_out = encoder_forward(tiny_params["encoder"], tiny_cfg, h_full)
+
+    for kv in ("int8", "int4"):
+        state = init_encoder_state(tiny_cfg, ring_size=64, kv_dtype=kv)
+        outs, pos = [], 0
+        for size in (5, 1, 17, 3, 30, 40):
+            chunk = h_full[pos:pos + size]
+            state, out = encoder_incremental(
+                tiny_params["encoder"], tiny_cfg, state, chunk[None])
+            outs.append(np.asarray(out[0]))
+            pos += size
+        inc = np.concatenate(outs)
+        err = np.abs(inc - np.asarray(batch_out)).max()
+        tol = 0.05 if kv == "int8" else 0.6   # int4: ~16x coarser codes
+        assert err < tol, (kv, err)
+        if kv == "int4":
+            assert state.k_ring[0].shape[-1] == tiny_cfg.encoder.attn_dim // 2

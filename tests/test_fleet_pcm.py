@@ -121,3 +121,46 @@ def test_fleet_split_bootstrap_matches_batch_pipeline(tiny_cfg, tiny_params):
         pos += T * hop
     assert out == want[:len(out)]
     assert len(out) >= len(want) - T // 8      # tail loses < one chunk
+
+
+def test_fleet_int4_encoder_rings_run_and_track_int8(tiny_cfg, tiny_params):
+    """enc_kv_dtype="int4" (packed encoder rings, full-precision-path
+    decoder): the fleet step must run end-to-end and emit tokens; the
+    greedy stream tracks the int8-ring stream (identical up to int4
+    quantization flips on near-tie argmaxes — with tiny random weights
+    the streams are usually identical; assert high agreement, not
+    equality)."""
+    import jax.numpy as jnp
+    from voxtral_tpu.models.decoder import ada_scales, time_conditioning
+    from voxtral_tpu.runtime.fleet import (
+        fleet_bootstrap_pcm, fleet_step_pcm, init_fleet_state)
+
+    cfg = tiny_cfg
+    t_ada = ada_scales(tiny_params["decoder"],
+                       time_conditioning(cfg.streaming.delay_tokens,
+                                         cfg.decoder.dim))
+    rng = np.random.RandomState(0)
+    hop = cfg.audio.hop_length
+    pcm0 = jnp.asarray((rng.rand(1, 320 * hop) - 0.5).astype(np.float32))
+    pcm = jnp.asarray((rng.rand(1, 40 * hop) - 0.5).astype(np.float32))
+
+    streams = {}
+    for enc_kv in ("int8", "int4"):
+        state = init_fleet_state(cfg, batch=1, enc_ring=48, dec_ring=None,
+                                 max_mel_chunk=320, kv_dtype="float",
+                                 enc_kv_dtype=enc_kv)
+        toks = []
+        state, t, _ = fleet_bootstrap_pcm(tiny_params, cfg, state, pcm0,
+                                          t_ada)
+        toks += [int(x) for x in np.asarray(t)[0] if x >= 0]
+        for _ in range(3):
+            state, t, _ = fleet_step_pcm(tiny_params, cfg, state, pcm, t_ada)
+            toks += [int(x) for x in np.asarray(t)[0] if x >= 0]
+        streams[enc_kv] = toks
+        if enc_kv == "int4":
+            assert (state.encoder.k_ring[0].shape[-1]
+                    == cfg.encoder.attn_dim // 2)
+    a, b = streams["int8"], streams["int4"]
+    assert len(a) == len(b) > 10
+    agree = sum(x == y for x, y in zip(a, b)) / len(a)
+    assert agree > 0.9, (agree, a, b)

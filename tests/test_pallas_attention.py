@@ -223,3 +223,44 @@ def test_dispatcher_n_valid_slots_traced():
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5,
                                    err_msg=f"nv={nv}")
+
+
+@pytest.mark.parametrize("case", ["decode_gqa", "encoder_mha"])
+def test_kernel_int4_packed_ring_matches_dequant_oracle(case):
+    """Nibble-packed int4 rings (quant.py:quantize_kv_int4): the kernel's
+    in-VMEM unpack + two half-width dots must equal the oracle run on the
+    DEQUANTIZED ring (what the packed storage represents) exactly."""
+    from voxtral_tpu.quant import quantize_kv_int4, unpack_int4
+    rng = np.random.RandomState(5)
+    if case == "decode_gqa":
+        b, s, h, hkv, hd, p, window, sx = 2, 1, 8, 2, 128, 96, 48, 8
+    else:
+        b, s, h, hkv, hd, p, window, sx = 2, 8, 4, 4, 64, 96, 48, 8
+    last = 80
+    kf, vf, sp = _mk_ring(rng, b, p, hkv, hd, last)
+    kq, ks = jax.jit(quantize_kv_int4, static_argnums=(1, 2))(kf, hkv, hd)
+    vq, vs = jax.jit(quantize_kv_int4, static_argnums=(1, 2))(vf, hkv, hd)
+
+    def dequant(q_packed, scales):
+        lo, hi = unpack_int4(q_packed.reshape(b, p, hkv, hd // 2))
+        vals = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+        return (vals * jnp.swapaxes(scales, 1, 2)[..., None]
+                ).reshape(b, p, hkv * hd)
+
+    q = jnp.asarray(rng.randn(b, s, h * hd).astype(np.float32) * 0.3)
+    q_pos = jnp.asarray(
+        np.stack([np.arange(s) + last + 1 + sx for _ in range(b)]), jnp.int32)
+    xk = jnp.asarray(rng.randn(b, sx, hkv * hd).astype(np.float32) * 0.3)
+    xv = jnp.asarray(rng.randn(b, sx, hkv * hd).astype(np.float32) * 0.3)
+    xp = jnp.asarray(
+        np.stack([last + 1 + np.arange(sx) for _ in range(b)]), jnp.int32)
+
+    out = ring_gqa_attention(q, kq, vq, sp, q_pos, window=window, heads=h,
+                             kv_heads=hkv, head_dim=hd,
+                             k_scale=ks, v_scale=vs,
+                             extra_k=xk, extra_v=xv, extra_pos=xp,
+                             interpret=True)
+    ref = _oracle(q, dequant(kq, ks), dequant(vq, vs), sp, q_pos, window,
+                  hkv, hd, extra=(xk, xv, xp))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

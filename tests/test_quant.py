@@ -104,3 +104,28 @@ def test_q8_pipeline_tokens(tiny_cfg, tiny_params):
     # same length decode schedule; token agreement >= 80% on the tiny model
     agree = np.mean([a == b for a, b in zip(tokens_q, tokens_f)])
     assert agree >= 0.8, (tokens_q, tokens_f)
+
+
+def test_int4_pack_roundtrip():
+    """quantize_kv_int4 -> unpack_int4 recovers the exact quantized values
+    (halves packing convention), and dequantization error is bounded by
+    half a scale step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from voxtral_tpu.quant import quantize_kv_int4, unpack_int4
+
+    rng = np.random.RandomState(0)
+    b, s, hkv, hd = 2, 5, 3, 8
+    x = jnp.asarray(rng.randn(b, s, hkv * hd).astype(np.float32))
+    packed, scales = jax.jit(quantize_kv_int4, static_argnums=(1, 2))(
+        x, hkv, hd)
+    assert packed.shape == (b, s, hkv * hd // 2) and packed.dtype == jnp.int8
+    assert scales.shape == (b, hkv, s)
+    lo, hi = unpack_int4(packed.reshape(b, s, hkv, hd // 2))
+    vals = np.concatenate([np.asarray(lo), np.asarray(hi)], axis=-1)
+    assert vals.min() >= -8 and vals.max() <= 7
+    s_np = np.swapaxes(np.asarray(scales), 1, 2)[..., None]  # [B, S, Hkv, 1]
+    deq = vals * s_np
+    err = np.abs(deq.reshape(b, s, -1) - np.asarray(x))
+    assert (err <= 0.5 * s_np.max() + 1e-6).all()

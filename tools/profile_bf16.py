@@ -43,12 +43,12 @@ def log(m):
 
 
 def run_config(params, cfg, t_ada, batch, kv_dtype, chunk_mel=CHUNK_MEL,
-               dec_ring=DEC_RING, iters=6):
+               dec_ring=DEC_RING, iters=6, enc_kv_dtype=None):
     # encoder ring must hold window + the chunk's pending block
     enc_ring = max(ENC_RING, cfg.encoder.window + chunk_mel // 2 + 10)
     state = init_fleet_state(cfg, batch=batch, enc_ring=enc_ring,
                              dec_ring=dec_ring, max_mel_chunk=chunk_mel,
-                             kv_dtype=kv_dtype)
+                             kv_dtype=kv_dtype, enc_kv_dtype=enc_kv_dtype)
     rng = np.random.RandomState(0)
     hop = cfg.audio.hop_length
     boot_mel = max(320, chunk_mel)
@@ -92,10 +92,11 @@ def main():
         parts = a.split(":")
         chunk = int(parts[2]) if len(parts) > 2 else CHUNK_MEL
         ring = int(parts[3]) if len(parts) > 3 else DEC_RING
-        configs.append((int(parts[0]), parts[1], chunk, ring))
+        enc_kv = parts[4] if len(parts) > 4 else None
+        configs.append((int(parts[0]), parts[1], chunk, ring, enc_kv))
     if not configs:
-        configs = [(14, "float", CHUNK_MEL, DEC_RING),
-                   (24, "int8", CHUNK_MEL, DEC_RING)]
+        configs = [(14, "float", CHUNK_MEL, DEC_RING, None),
+                   (24, "int8", CHUNK_MEL, DEC_RING, None)]
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
     cfg = voxtral_4b(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
@@ -108,13 +109,16 @@ def main():
     t_ada = ada_scales(params["decoder"],
                        time_conditioning(cfg.streaming.delay_tokens,
                                          cfg.decoder.dim))
-    for batch, kv, chunk, ring in configs:
-        log(f"config: B={batch} bf16 weights, {kv} KV, chunk {chunk} mel, "
-            f"dec ring {ring}")
+    for batch, kv, chunk, ring, enc_kv in configs:
+        log(f"config: B={batch} bf16 weights, {kv} KV"
+            + (f" (enc {enc_kv})" if enc_kv else "")
+            + f", chunk {chunk} mel, dec ring {ring}")
         try:
             fresh, fresh_ms, steady = run_config(params, cfg, t_ada, batch,
-                                                 kv, chunk, ring)
-            log(f"  RESULT B={batch} kv={kv} chunk={chunk} ring={ring}: "
+                                                 kv, chunk, ring,
+                                                 enc_kv_dtype=enc_kv)
+            log(f"  RESULT B={batch} kv={kv} enc_kv={enc_kv} "
+                f"chunk={chunk} ring={ring}: "
                 f"fresh {fresh:.1f} audio-s/s ({fresh_ms:.1f} ms/step) | "
                 f"steady {steady:.1f} audio-s/s")
         except Exception as e:  # OOM etc: report and continue the sweep

@@ -24,7 +24,7 @@ from voxtral_tpu.ops import (
 )
 from voxtral_tpu.ops.linear import linear
 from voxtral_tpu.ops.pallas_attention import ring_attention
-from voxtral_tpu.quant import quantize_kv
+from voxtral_tpu.quant import quantize_kv, quantize_kv_int4
 
 
 def _gelu(x):
@@ -93,7 +93,17 @@ class EncoderState(NamedTuple):
     blocks pending_ks/vs; the fold is then a pure int8 copy. This halves
     pending HBM (~10 MB/stream at 4B shapes — a stream's worth of
     headroom at the 16 GB fit limit) vs float pending. The fused attention
-    kernel applies scales to score/probability columns."""
+    kernel applies scales to score/probability columns.
+
+    kv_dtype="int4" mode: rings/pending are nibble-PACKED int4 bytes
+    ([B, P, H*hd/2], quant.py:quantize_kv_int4) with the same f32 scale
+    tables; the kernel unpacks in-VMEM (two int32 shifts + two half-width
+    dots per sub-head). The encoder ring is the LARGEST per-stream state
+    item (~121 MB/stream int8 at 4B shapes), and encoder attention runs
+    once per chunk (~20 decoded tokens), so the per-element VPU unpack —
+    which sank int4 for the per-token decoder rings (SPEED.md) — is paid
+    20x less often here. Halving this ring is what lifts the bf16 fleet
+    from B=26 to B=30 on 16 GB (the >=50x-at-bf16 campaign)."""
     k_ring: tuple        # L x [B, P, H*hd]
     v_ring: tuple        # L x [B, P, H*hd]
     k_scale: tuple | None  # L x [B, H, P] f32 (int8 mode only)
@@ -126,26 +136,30 @@ def init_encoder_state(cfg: VoxtralConfig, ring_size: int = 1280,
     if phys % 32:
         ring_size += 32 - phys % 32
         phys = ring_size + pending_size
-    int8 = kv_dtype == "int8"
-    ring_dt = jnp.int8 if int8 else dt
+    assert kv_dtype in ("float", "int8", "int4"), kv_dtype
+    quant = kv_dtype in ("int8", "int4")
+    ring_dt = jnp.int8 if quant else dt
+    # int4: two values per byte, packed along the lane axis (halves
+    # convention, quant.py:quantize_kv_int4)
+    kw = e.attn_dim // 2 if kv_dtype == "int4" else e.attn_dim
     return EncoderState(
-        k_ring=tuple(jnp.zeros((batch, phys, e.attn_dim), ring_dt)
+        k_ring=tuple(jnp.zeros((batch, phys, kw), ring_dt)
                      for _ in range(e.layers)),
-        v_ring=tuple(jnp.zeros((batch, phys, e.attn_dim), ring_dt)
+        v_ring=tuple(jnp.zeros((batch, phys, kw), ring_dt)
                      for _ in range(e.layers)),
         k_scale=tuple(jnp.ones((batch, e.heads, phys), jnp.float32)
-                      for _ in range(e.layers)) if int8 else None,
+                      for _ in range(e.layers)) if quant else None,
         v_scale=tuple(jnp.ones((batch, e.heads, phys), jnp.float32)
-                      for _ in range(e.layers)) if int8 else None,
+                      for _ in range(e.layers)) if quant else None,
         slot_pos=jnp.full((batch, phys), SLOT_INVALID, jnp.int32),
-        pending_k=tuple(jnp.zeros((batch, pending_size, e.attn_dim), ring_dt)
+        pending_k=tuple(jnp.zeros((batch, pending_size, kw), ring_dt)
                         for _ in range(e.layers)),
-        pending_v=tuple(jnp.zeros((batch, pending_size, e.attn_dim), ring_dt)
+        pending_v=tuple(jnp.zeros((batch, pending_size, kw), ring_dt)
                         for _ in range(e.layers)),
         pending_ks=tuple(jnp.ones((batch, e.heads, pending_size), jnp.float32)
-                         for _ in range(e.layers)) if int8 else None,
+                         for _ in range(e.layers)) if quant else None,
         pending_vs=tuple(jnp.ones((batch, e.heads, pending_size), jnp.float32)
-                         for _ in range(e.layers)) if int8 else None,
+                         for _ in range(e.layers)) if quant else None,
         pending_sp=jnp.full((batch, pending_size), SLOT_INVALID, jnp.int32),
         pending_adv=jnp.zeros((), jnp.int32),
         write_ctr=jnp.zeros((), jnp.int32),
@@ -226,6 +240,9 @@ def encoder_incremental(enc_params: dict, cfg: VoxtralConfig,
 
     h = h_chunk
     float_dt = h_chunk.dtype
+    # int4-packed rings carry half the lanes (see init_encoder_state)
+    int4_kv = int8_kv and state.k_ring[0].shape[-1] * 2 == e.attn_dim
+    qkv = quantize_kv_int4 if int4_kv else quantize_kv
     chunk_ks, chunk_vs = [], []
     chunk_kss, chunk_vss = [], []      # int8 mode: per-chunk scale blocks
     for l, lp in enumerate(enc_params["layers"]):
@@ -238,8 +255,8 @@ def encoder_incremental(enc_params: dict, cfg: VoxtralConfig,
             # to quantize — bit-identical rings) so the pending block is
             # int8: half the pending HBM, and the next fold is a copy.
             # In-chunk attention still sees the float kd/vd below.
-            qk, qks = quantize_kv(kd, e.heads, e.head_dim)
-            qv_, qvs = quantize_kv(vd, e.heads, e.head_dim)
+            qk, qks = qkv(kd, e.heads, e.head_dim)
+            qv_, qvs = qkv(vd, e.heads, e.head_dim)
             chunk_ks.append(qk)
             chunk_vs.append(qv_)
             chunk_kss.append(qks)

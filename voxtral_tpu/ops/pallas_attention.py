@@ -44,21 +44,44 @@ _NEG = -1e30
 
 def _attend_block(q_mat, k_blk, v_blk, mask, xk_blk, xv_blk, x_mask,
                   scale, ks_row, vs_row):
-    """q_mat: [R, hd] f32; k_blk/v_blk: [P, hd] (any dtype, incl. int8);
-    mask: [R, P] bool; xk/xv: [Sx, hd] or None; x_mask: [R, Sx];
-    ks_row/vs_row: [P] f32 per-slot scales or None. Returns [R, hd] f32."""
+    """q_mat: [R, hd] f32; k_blk/v_blk: [P, hd] (any dtype, incl. int8) OR
+    an (lo, hi) int32 pair of [P, hd/2] halves from an int4-packed ring
+    (quant.py:unpack_int4 — lanes [0, hd/2) and [hd/2, hd)); mask: [R, P]
+    bool; xk/xv: [Sx, hd] or None; x_mask: [R, Sx]; ks_row/vs_row: [P] f32
+    per-slot scales or None. Returns [R, hd] f32."""
     # MXU operands stay low-precision (f32 matmul is several times slower
     # and would upcast the whole ring slice); accumulation is f32 via
     # preferred_element_type. The oracle rounds probs to V's dtype too.
     mxu_dt = q_mat.dtype
-    kd = k_blk.astype(mxu_dt)
-    s1 = jax.lax.dot_general(q_mat, kd, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32) * scale
+
+    def kq(q_mat, k):
+        if isinstance(k, tuple):        # packed halves: two half-width dots
+            lo, hi = k
+            hh = lo.shape[1]
+            return (jax.lax.dot_general(
+                        q_mat[:, :hh], lo.astype(mxu_dt),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(
+                        q_mat[:, hh:], hi.astype(mxu_dt),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+        return jax.lax.dot_general(q_mat, k.astype(mxu_dt),
+                                   (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    s1 = kq(q_mat, k_blk) * scale
     if ks_row is not None:
         s1 = s1 * ks_row[None, :]
     s1 = jnp.where(mask, s1, _NEG)
 
     def pv(e, v):
+        if isinstance(v, tuple):        # packed halves: concat restores
+            o = [jax.lax.dot_general(e.astype(mxu_dt), h.astype(mxu_dt),
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+                 for h in v]            # the original lane order
+            return jnp.concatenate(o, axis=1)
         return jax.lax.dot_general(e.astype(mxu_dt), v.astype(mxu_dt),
                                    (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
@@ -87,10 +110,11 @@ def _attend_block(q_mat, k_blk, v_blk, mask, xk_blk, xv_blk, x_mask,
     return pv(e1, v_blk) / denom
 
 
-def _kernel(refs, *, window, group, hd, has_extra, has_scales):
+def _kernel(refs, *, window, group, hd, has_extra, has_scales, packed):
     """Grid (B, Hkv*hd//blk). Ref order: q, k, v, sp, qp,
     [ks, vs,] [xk, xv, xp,] out. Block shapes:
-    q/out [1, S, group*blk]; k/v [1, P, blk]; xk/xv [1, Sx, blk];
+    q/out [1, S, group*blk]; k/v [1, P, blk] (or [1, P, blk/2] int4-packed
+    bytes); xk/xv [1, Sx, blk];
     sp [1, 1, P] / qp [1, 1, S] / xp [1, 1, Sx]; ks/vs [1, 1, sub, P].
     Every cell fetches ONLY its own rows — a full-table spec with a
     constant index_map is re-DMA'd per grid cell (measured ~5x kernel
@@ -104,7 +128,8 @@ def _kernel(refs, *, window, group, hd, has_extra, has_scales):
         xk_ref, xv_ref, xp_ref = next(it), next(it), next(it)
     o_ref = next(it)
 
-    sub = k_ref.shape[2] // hd          # kv sub-heads in this lane block
+    kv_w = hd // 2 if packed else hd    # ring lanes per kv sub-head
+    sub = k_ref.shape[2] // kv_w        # kv sub-heads in this lane block
     scale = 1.0 / math.sqrt(hd)
     qp = qp_ref[0, 0, :]                                 # [S]
     sp = sp_ref[0, 0, :]                                 # [P]
@@ -119,8 +144,13 @@ def _kernel(refs, *, window, group, hd, has_extra, has_scales):
     q_all = q_ref[0]                                     # [S, group*blk]
 
     for j in range(sub):                # static unroll over kv sub-heads
-        k_blk = k_ref[0, :, j * hd:(j + 1) * hd]         # [P, hd]
-        v_blk = v_ref[0, :, j * hd:(j + 1) * hd]
+        if packed:
+            from voxtral_tpu.quant import unpack_int4
+            k_blk = unpack_int4(k_ref[0, :, j * kv_w:(j + 1) * kv_w])
+            v_blk = unpack_int4(v_ref[0, :, j * kv_w:(j + 1) * kv_w])
+        else:
+            k_blk = k_ref[0, :, j * hd:(j + 1) * hd]     # [P, hd]
+            v_blk = v_ref[0, :, j * hd:(j + 1) * hd]
         ks_row = vs_row = None
         if has_scales:
             ks_row = ks_ref[0, 0, j, :]                  # [P] f32
@@ -157,17 +187,20 @@ def _kernel(refs, *, window, group, hd, has_extra, has_scales):
 
 @functools.partial(jax.jit, static_argnames=("window", "heads", "kv_heads",
                                              "head_dim", "p_limit",
-                                             "interpret"))
+                                             "kv_packed", "interpret"))
 def ring_gqa_attention(q, k_ring, v_ring, slot_pos, q_pos, *,
                        window: int, heads: int, kv_heads: int, head_dim: int,
                        k_scale=None, v_scale=None,
                        extra_k=None, extra_v=None, extra_pos=None,
                        p_limit: int | None = None,
+                       kv_packed: bool = False,
                        interpret: bool = False):
     """Batched fused ring attention.
 
     q: [B, S, heads*head_dim]; k_ring/v_ring: [B, P, kv_heads*head_dim]
-    (bf16/f32, or int8 with k_scale/v_scale [B, kv_heads, P] f32);
+    (bf16/f32, or int8 with k_scale/v_scale [B, kv_heads, P] f32; with
+    kv_packed, [B, P, kv_heads*head_dim/2] int4-PACKED bytes — see
+    quant.py:quantize_kv_int4 — unpacked in-kernel, scales required);
     slot_pos: [B, P] int32 (logical position per slot, negative = invalid);
     q_pos: [B, S] int32; extra_k/v: [B, Sx, kv_heads*head_dim] float with
     extra_pos [B, Sx]. Returns [B, S, heads*head_dim] in q.dtype.
@@ -185,6 +218,12 @@ def ring_gqa_attention(q, k_ring, v_ring, slot_pos, q_pos, *,
     p_full = k_ring.shape[1]
     p = p_full if p_limit is None else min(p_limit, p_full)
     assert qd == heads * head_dim
+    if k_ring.shape[-1] * 2 == kv_heads * head_dim:
+        # half-width int8 ring == nibble-packed int4 (the ring layout
+        # contract rules out any other half-lane ring)
+        kv_packed = True
+    assert not kv_packed or k_scale is not None, \
+        "int4-packed rings require scales"
     group = heads // kv_heads
     assert 128 % head_dim == 0, head_dim
     kv_dim = kv_heads * head_dim
@@ -207,12 +246,13 @@ def ring_gqa_attention(q, k_ring, v_ring, slot_pos, q_pos, *,
     has_scales = k_scale is not None
     qlanes = group * blk
 
+    rblk = blk // 2 if kv_packed else blk     # ring lane block (bytes)
     in_specs = [
         pl.BlockSpec((1, s, qlanes), lambda i, n: (i, 0, n),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, p, blk), lambda i, n: (i, 0, n),
+        pl.BlockSpec((1, p, rblk), lambda i, n: (i, 0, n),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, p, blk), lambda i, n: (i, 0, n),
+        pl.BlockSpec((1, p, rblk), lambda i, n: (i, 0, n),
                      memory_space=pltpu.VMEM),
         # per-cell row slices ([1,1,...] leading blocks); see _kernel doc
         pl.BlockSpec((1, 1, p), lambda i, n: (i, 0, 0),
@@ -245,7 +285,8 @@ def ring_gqa_attention(q, k_ring, v_ring, slot_pos, q_pos, *,
 
     def kernel(*refs):
         _kernel(refs, window=window, group=group, hd=head_dim,
-                has_extra=has_extra, has_scales=has_scales)
+                has_extra=has_extra, has_scales=has_scales,
+                packed=kv_packed)
 
     return pl.pallas_call(
         kernel,
@@ -277,12 +318,15 @@ def _pallas_dispatch(q, k_ring, v_ring, slot_pos, q_pos, *,
                      xk, xv, xp, n_valid_slots, interpret):
     """Prefix-bucket dispatch onto the fused kernel (single device / one
     shard_map shard). See ring_attention for the n_valid_slots contract."""
+    kv_packed = k_ring.shape[-1] * 2 == kv_heads * head_dim
+
     def run(p_limit):
         return ring_gqa_attention(
             q, k_ring, v_ring, slot_pos, q_pos, window=window,
             heads=heads, kv_heads=kv_heads, head_dim=head_dim,
             k_scale=k_scale, v_scale=v_scale, extra_k=xk, extra_v=xv,
-            extra_pos=xp, p_limit=p_limit, interpret=interpret)
+            extra_pos=xp, p_limit=p_limit, kv_packed=kv_packed,
+            interpret=interpret)
 
     phys = k_ring.shape[1]
     if n_valid_slots is None:

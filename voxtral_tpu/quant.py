@@ -105,6 +105,47 @@ def quantize_kv(x: jax.Array, kv_heads: int, head_dim: int):
             jnp.swapaxes(scales, 1, 2))             # [B, Hkv, S]
 
 
+def quantize_kv_int4(x: jax.Array, kv_heads: int, head_dim: int):
+    """Quantize a KV block [B, S, kv_heads*head_dim] (float) to the
+    nibble-PACKED int4 ring representation: (int8 [B, S, K/2] with two
+    int4 values per byte, scales [B, kv_heads, S] f32).
+
+    Packing convention (halves, no interleave — tools/profile_int4_unpack
+    measured interleaved packing as pure VPU relayout loss): for one head
+    of hd lanes, packed byte c (c in [0, hd/2)) carries lane c in its low
+    nibble and lane c + hd/2 in its high nibble. The kernel unpacks with
+    two int32 shifts and runs TWO half-width dots per sub-head (scores:
+    q_lo @ lo^T + q_hi @ hi^T), so the original lane order never needs a
+    re-interleave. Scale is per (stream, slot, kv-head), amax/7.
+
+    Used for the ENCODER rings only: encoder attention runs once per
+    chunk, so the VPU unpack is paid 1x per ~20 decoded tokens — unlike
+    the decoder, where per-token unpack measured slower than the DMA it
+    saves (SPEED.md int4 rejection). Halving the encoder ring (the
+    largest per-stream state item) is what buys the bf16 fleet its extra
+    streams."""
+    b, s, _ = x.shape
+    h2 = head_dim // 2
+    x4 = x.astype(jnp.float32).reshape(b, s, kv_heads, head_dim)
+    amax = jnp.max(jnp.abs(x4), axis=-1)            # [B, S, Hkv]
+    scales = jnp.where(amax > 0, amax / 7.0, 1.0)
+    q = jnp.clip(jnp.round(x4 / scales[..., None]), -8, 7).astype(jnp.int32)
+    lo = q[..., :h2] & 0xF                          # unsigned low nibble
+    packed = lo | (q[..., h2:] << 4)                # int32 in [-128, 127]
+    return (packed.astype(jnp.int8).reshape(b, s, kv_heads * h2),
+            jnp.swapaxes(scales, 1, 2))             # [B, Hkv, S]
+
+
+def unpack_int4(packed: jax.Array):
+    """Inverse nibble split: packed int8 [..., n] -> (lo, hi) int32 signed
+    int4 values (lane c, lane c + hd/2 of quantize_kv_int4's convention).
+    int32 shifts: int8 shifts don't legalize in Mosaic."""
+    xi = packed.astype(jnp.int32)
+    hi = jax.lax.shift_right_arithmetic(xi, 4)
+    lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(xi, 28), 28)
+    return lo, hi
+
+
 # Param-tree keys carrying the big 2-D matmul weights (per section).
 _Q8_LAYER_KEYS = ("wq", "wk", "wv", "wo", "w1", "w2", "w3")
 

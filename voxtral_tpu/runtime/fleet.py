@@ -47,14 +47,18 @@ class FleetState(NamedTuple):
 def init_fleet_state(cfg: VoxtralConfig, batch: int, *, enc_ring: int = 1280,
                      dec_ring: int | None = None, dtype=None,
                      max_mel_chunk: int = 320,
-                     kv_dtype: str = "float") -> FleetState:
+                     kv_dtype: str = "float",
+                     enc_kv_dtype: str | None = None) -> FleetState:
     """max_mel_chunk: the largest mel chunk any step will see (including
     bootstrap) — it sizes the pending KV blocks (mel/2 encoder positions,
     mel/8 decoder tokens). Folding stays exact as long as the pending fits
     the ring's out-of-window margin (see models/decoder.py).
 
     kv_dtype="int8": quantized KV rings (halved HBM footprint + attention
-    traffic; see models/decoder.py docstring)."""
+    traffic; see models/decoder.py docstring). enc_kv_dtype overrides the
+    ENCODER rings separately — "int4" packs them to nibbles (the largest
+    per-stream state item, unpacked once per chunk; see models/encoder.py),
+    which buys the bf16 fleet extra streams on a 16 GB chip."""
     dt = dtype or cfg.compute_dtype
     e, d = cfg.encoder, cfg.decoder
     dec = init_decode_state(cfg, batch=batch, dtype=dt,
@@ -70,7 +74,7 @@ def init_fleet_state(cfg: VoxtralConfig, batch: int, *, enc_ring: int = 1280,
         encoder=init_encoder_state(cfg, ring_size=enc_ring, batch=batch,
                                    dtype=dt,
                                    pending_size=max_mel_chunk // 2,
-                                   kv_dtype=kv_dtype),
+                                   kv_dtype=enc_kv_dtype or kv_dtype),
         decode=dec,
     )
 

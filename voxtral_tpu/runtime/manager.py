@@ -120,6 +120,7 @@ class _Slot:
 class FleetManager:
     def __init__(self, params, cfg: VoxtralConfig, batch: int, *,
                  tokenizer=None, chunk_tokens: int = 20,
+                 max_chunk_tokens: int | None = None,
                  delay_tokens: int | None = None, kv_dtype: str = "float",
                  enc_ring: int | None = None, dec_ring: int = 2048,
                  continuous: bool = True, n_alt: int = 1,
@@ -169,6 +170,10 @@ class FleetManager:
         self.n = chunk_tokens                       # decode tokens per step
         self.chunk_mel = chunk_tokens * 8
         self.chunk_samp = self.chunk_mel * cfg.audio.hop_length
+        # max_chunk_tokens sizes the device pending blocks so
+        # set_chunk_tokens can later raise the step size without touching
+        # device state (VoxStream's set_interval rides this)
+        self.max_chunk_tokens = max(chunk_tokens, max_chunk_tokens or 0)
         self.continuous = continuous
         st = cfg.streaming
         self.delay = st.delay_tokens if delay_tokens is None else delay_tokens
@@ -176,10 +181,11 @@ class FleetManager:
         self.t_ada = ada_scales(
             params["decoder"],
             time_conditioning(self.delay, cfg.decoder.dim))
-        enc_ring = enc_ring or (cfg.encoder.window + self.chunk_mel // 2 + 8)
+        enc_ring = enc_ring or (cfg.encoder.window
+                                + self.max_chunk_tokens * 4 + 8)
         self.state = init_fleet_state(
             cfg, batch=batch, enc_ring=enc_ring, dec_ring=dec_ring,
-            max_mel_chunk=self.chunk_mel, kv_dtype=kv_dtype)
+            max_mel_chunk=self.max_chunk_tokens * 8, kv_dtype=kv_dtype)
         if mesh is not None:
             from voxtral_tpu.parallel.sharding import (
                 fleet_state_pspecs, shard_tree)
@@ -219,6 +225,34 @@ class FleetManager:
 
     def detach(self, sid: int):
         self.slots[sid].active = False
+
+    def set_chunk_tokens(self, chunk_tokens: int):
+        """Change the step size (tokens per compiled step). Device state is
+        untouched — the pending blocks were sized by max_chunk_tokens at
+        init, so any chunk up to that bound folds exactly; a new size only
+        compiles a new step program (cached per shape). Must be called
+        between polls (no staged chunk in flight)."""
+        assert self._staged_next is None, "chunk change with a step in flight"
+        if chunk_tokens > self.max_chunk_tokens:
+            raise ValueError(
+                f"chunk_tokens {chunk_tokens} exceeds max_chunk_tokens "
+                f"{self.max_chunk_tokens} the device state was sized for")
+        self.n = chunk_tokens
+        self.chunk_mel = chunk_tokens * 8
+        self.chunk_samp = self.chunk_mel * self.cfg.audio.hop_length
+
+    def set_delay(self, delay_tokens: int):
+        """Change the transcription delay (vox_set_delay semantics,
+        voxtral.c:1681-87): the per-layer ada conditioning switches
+        immediately; the prompt length applies to FUTURE prompt builds
+        (attach / watchdog full resets) — already-prefilled slots keep
+        their current prompt, like the reference."""
+        self.delay = delay_tokens
+        st = self.cfg.streaming
+        self.prompt_len = 1 + st.n_left_pad_tokens + self.delay
+        self.t_ada = ada_scales(
+            self.params["decoder"],
+            time_conditioning(self.delay, self.cfg.decoder.dim))
 
     def feed(self, sid: int, samples: np.ndarray):
         s = self.slots[sid]
