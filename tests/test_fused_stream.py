@@ -104,7 +104,7 @@ def test_fused_continuous_watchdog_restart(tiny_cfg, tiny_params, audio,
     into the fused stream: a tiny KV cap forces restarts (⟳♻ in the
     monitor log) and the stream keeps decoding."""
     import voxtral_tpu.runtime.manager as M
-    monkeypatch.setattr(M, "MAX_DECODE_KV", 16)
+    monkeypatch.setattr(M, "MAX_DECODE_KV", 45)
     s = _run(tiny_params, tiny_cfg, audio, "fused", continuous=True)
     assert any(sym.startswith("⟳") for sym in s.monitor_log), s.monitor_log
     assert s.stats()["restarts"] > 0

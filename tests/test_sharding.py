@@ -20,6 +20,18 @@ from voxtral_tpu.runtime.fleet import (
 from voxtral_tpu.weights import random_params
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_caches():
+    """The virtual-8-device mesh tests allocate large CPU executables on
+    top of everything ~90 earlier tests compiled; with round 4's scoped
+    TP caches (tp_scoped_jit) nothing clears them implicitly any more,
+    and the accumulated executables segfault XLA:CPU mid-suite (observed
+    2/2 full runs; any subset passes). Free them at this module boundary
+    — test-process hygiene only; production keeps the scoped caches."""
+    jax.clear_caches()
+    yield
+
+
 @pytest.fixture(scope="module")
 def small_cfg():
     return VoxtralConfig(
@@ -162,3 +174,35 @@ def test_tp_dp_int8_fleet_matches_single_device(small_cfg, small_params):
             fleet_state_pspecs(cfg, "int8"), mesh)
         tp_tokens = _run_fleet(cfg, sp, st, mel_first, mel_chunks, t_ada)
     np.testing.assert_array_equal(ref_tokens, tp_tokens)
+
+
+def test_tp_scoped_jit_keeps_caches_across_mesh_contexts():
+    """VERDICT r3 next #6: opening and closing a meshed manager in a warm
+    process must leave previously compiled (unmeshed) programs live.
+    tp_scoped_jit keeps one jit instance per TP context, so a context
+    switch selects a different cache instead of clearing anything."""
+    import jax.numpy as jnp
+    from voxtral_tpu.parallel.sharding import (
+        make_mesh, tp_scoped_jit, use_tp_mesh)
+
+    traces = []
+
+    @tp_scoped_jit
+    def f(x):
+        traces.append(1)
+        return x * 2.0
+
+    x = jnp.ones((4,))
+    f(x)
+    assert len(traces) == 1
+    mesh = make_mesh(1, 1)
+    with use_tp_mesh(mesh):
+        f(x)                       # new context -> its own trace
+        assert len(traces) == 2
+        f(x)
+        assert len(traces) == 2    # cached within the context
+    f(x)
+    assert len(traces) == 2        # unmeshed trace SURVIVED the mesh
+    with use_tp_mesh(mesh):
+        f(x)
+        assert len(traces) == 2    # meshed trace survived the exit too

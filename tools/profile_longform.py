@@ -13,6 +13,11 @@ Part 2 (VoxStream): one >11-minute stream through the B=1 streaming engine
 at ring 8192 — the full rolling window wraps in real operation (logical
 positions past the ring, fold-time recycling of out-of-window slots).
 
+Round 4: VOX_PROF_WEIGHTS=bf16 runs the fleet sweep at bf16 weights
+(+ int8 KV) instead of Q8 — BASELINE config #4 at weight precision
+(defaults B 6 8). The VoxStream part runs whatever backend StreamConfig
+auto-picks (fused B=1 FleetManager on TPU since round 4).
+
 Usage: python tools/profile_longform.py [B ...]   (default 8 10 12)
 """
 import os
@@ -54,28 +59,34 @@ def voxstream_longform(params, cfg):
     s.finish()
     dt = time.perf_counter() - t0
     gen = s.n_generated
+    dec = (s._mgr.state.decode if getattr(s, "_mgr", None) is not None
+           else s.decode_state)
     # ring positions: the decoder consumed ~12.5 tokens/s of audio
-    log(f"VoxStream long-form: {secs} s audio in {dt:.1f} s "
-        f"({secs / dt:.1f}x real-time single stream), {gen} tokens, "
-        f"final decode pos {int(np.asarray(s.decode_state.pos)[0])} "
-        f"(ring {s.decode_state.k_ring[0].shape[1]} slots, window 8192)")
+    log(f"VoxStream long-form ({s.backend} backend): {secs} s audio in "
+        f"{dt:.1f} s ({secs / dt:.1f}x real-time single stream), "
+        f"{gen} tokens, final decode pos {int(np.asarray(dec.pos)[0])} "
+        f"(ring {dec.k_ring[0].shape[1]} slots, window 8192)")
     assert gen > 8192, "stream did not outgrow the 8192 window"
 
 
 def main():
-    batches = [int(a) for a in sys.argv[1:]] or [8, 10, 12]
-    log(f"device: {jax.devices()[0]}")
+    wdt = os.environ.get("VOX_PROF_WEIGHTS", "q8")
+    batches = [int(a) for a in sys.argv[1:]] or (
+        [6, 8] if wdt == "bf16" else [8, 10, 12])
+    log(f"device: {jax.devices()[0]}; weights={wdt}")
     cfg = voxtral_4b(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
     t0 = time.perf_counter()
-    params = quantize_params(random_params_device(cfg, seed=0))
+    params = random_params_device(cfg, seed=0)
+    if wdt != "bf16":
+        params = quantize_params(params)
     np.asarray(jax.device_get(
         jax.tree_util.tree_leaves(params)[0].ravel()[:1]))
-    log(f"Q8 params ready in {time.perf_counter() - t0:.1f}s")
+    log(f"{wdt} params ready in {time.perf_counter() - t0:.1f}s")
     t_ada = ada_scales(params["decoder"],
                        time_conditioning(cfg.streaming.delay_tokens,
                                          cfg.decoder.dim))
     for b in batches:
-        log(f"config: B={b} Q8 weights, int8 KV, dec ring {DEC_RING}")
+        log(f"config: B={b} {wdt} weights, int8 KV, dec ring {DEC_RING}")
         try:
             fresh, fresh_ms, steady = pb.run_config(
                 params, cfg, t_ada, b, "int8", dec_ring=DEC_RING)

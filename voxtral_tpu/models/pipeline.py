@@ -34,7 +34,10 @@ def prompt_token_ids(cfg: VoxtralConfig, delay_tokens: int) -> np.ndarray:
     return np.asarray(ids, dtype=np.int32)
 
 
-@partial(jax.jit, static_argnames=("cfg", "delay_tokens", "collect_topk"))
+from voxtral_tpu.parallel.sharding import tp_scoped_jit
+
+
+@partial(tp_scoped_jit, static_argnames=("cfg", "delay_tokens", "collect_topk"))
 def _pipeline_jit(params, cfg: VoxtralConfig, mel, delay_tokens: int,
                   collect_topk: int = 0):
     """mel: [mel_bins, F] (F even). Returns (tokens [N], aux)."""

@@ -42,36 +42,59 @@ def use_tp_mesh(mesh: Mesh, data_axis: str = DATA, model_axis: str = MODEL):
     """Activate `mesh` for Pallas-kernel sharding while tracing/jitting the
     step functions. Trace-time only (no runtime effect): enter it once
     before the first call of each step function and keep it open for the
-    serving session. Because jaxpr traces are cached by shape/dtype only,
-    entering/leaving with a DIFFERENT context clears JAX's caches — a trace
-    made without shard_map must not be reused under the mesh (GSPMD cannot
-    partition a pallas_call)."""
+    serving session.
+
+    Cache scoping (round 4, VERDICT r3 next #6): jaxpr traces are cached
+    by shape/dtype only, and a trace made without shard_map must not be
+    reused under a mesh (GSPMD cannot partition a pallas_call) — so every
+    model-level entry point is jitted through tp_scoped_jit, which keeps
+    ONE jit instance (with its own compile cache) PER TP context. Entering
+    or leaving a mesh therefore switches caches instead of clearing them:
+    a warm process that opens and closes a meshed manager keeps all its
+    previously compiled unmeshed programs."""
     global _TP_CTX
     prev = _TP_CTX
-    new = (mesh, data_axis, model_axis)
-    if new != prev:
-        _clear_caches("enter")
-    _TP_CTX = new
+    _TP_CTX = (mesh, data_axis, model_axis)
     try:
         yield
     finally:
         _TP_CTX = prev
-        if new != prev:
-            _clear_caches("exit")
 
 
-def _clear_caches(when: str):
-    """jax.clear_caches() is a GLOBAL side effect: every compiled program in
-    the process is discarded (minutes of recompiles at 4B scale). Warn
-    loudly so a long-lived process that opens/closes a meshed manager knows
-    why its next steps recompile."""
-    import sys
+def tp_scoped_jit(fun=None, **jit_kwargs):
+    """jax.jit whose compiled-program cache is scoped by the active TP
+    context: each distinct use_tp_mesh context gets its own jit instance,
+    selected per call. Compiled programs survive context switches (one
+    retained instance per distinct mesh context ever used — bounded and
+    intended). Use for any function whose TRACE depends on
+    active_tp_mesh() (everything reaching ops/pallas_attention.py)."""
+    if fun is None:
+        return lambda f: tp_scoped_jit(f, **jit_kwargs)
+    instances: dict = {}
 
-    print(f"voxtral_tpu: use_tp_mesh {when} with a different mesh context "
-          "clears ALL jit caches process-wide — previously compiled "
-          "programs (including non-meshed ones) will recompile",
-          file=sys.stderr, flush=True)
-    jax.clear_caches()
+    def _new_instance():
+        # jax.jit keyed on the same function object shares tracing caches
+        # across wrappers — wrap in a per-instance closure (signature
+        # preserved via functools.wraps so static_argnames still resolve)
+        import functools
+
+        @functools.wraps(fun)
+        def distinct(*a, **k):
+            return fun(*a, **k)
+
+        return jax.jit(distinct, **jit_kwargs)
+
+    def wrapper(*args, **kwargs):
+        f = instances.get(_TP_CTX)
+        if f is None:
+            f = _new_instance()
+            instances[_TP_CTX] = f
+        return f(*args, **kwargs)
+
+    wrapper.__name__ = getattr(fun, "__name__", "tp_scoped_jit")
+    wrapper.__doc__ = fun.__doc__
+    wrapper._tp_instances = instances       # test/introspection hook
+    return wrapper
 
 
 def active_tp_mesh() -> tuple | None:
@@ -127,10 +150,14 @@ def param_pspecs(cfg: VoxtralConfig) -> dict:
 
 
 def fleet_state_pspecs(cfg: VoxtralConfig,
-                       kv_dtype: str = "float") -> "FleetStatePspecs":
+                       kv_dtype: str = "float",
+                       enc_kv_dtype: str | None = None) -> "FleetStatePspecs":
     """PartitionSpecs for FleetState (see runtime/fleet.py): stream batch on
-    'data', KV heads on 'model'. kv_dtype="int8" adds the per-(slot, head)
-    scale tables ([B, Hkv, P]: data-sharded streams, head-sharded scales)."""
+    'data', KV heads on 'model'. Quantized KV ("int8"/"int4") adds the
+    per-(slot, head) scale tables ([B, Hkv, P]: data-sharded streams,
+    head-sharded scales). int4-packed rings shard the same way — the
+    packed lane axis is head-major (hd/2 bytes per head), so a head-
+    aligned model split stays head-local."""
     from voxtral_tpu.runtime.fleet import FleetState
     from voxtral_tpu.models.decoder import DecodeState
     from voxtral_tpu.models.encoder import EncoderState
@@ -138,7 +165,8 @@ def fleet_state_pspecs(cfg: VoxtralConfig,
     ring = P(DATA, None, MODEL)
     scale = P(DATA, MODEL, None)
     enc_l, dec_l = cfg.encoder.layers, cfg.decoder.layers
-    int8 = kv_dtype == "int8"
+    int8 = kv_dtype in ("int8", "int4")
+    enc_q = (enc_kv_dtype or kv_dtype) in ("int8", "int4")
     return FleetState(
         pcm_tail=P(DATA),
         mel_tail=P(DATA),
@@ -146,13 +174,13 @@ def fleet_state_pspecs(cfg: VoxtralConfig,
         encoder=EncoderState(
             k_ring=(ring,) * enc_l,
             v_ring=(ring,) * enc_l,
-            k_scale=(scale,) * enc_l if int8 else None,
-            v_scale=(scale,) * enc_l if int8 else None,
+            k_scale=(scale,) * enc_l if enc_q else None,
+            v_scale=(scale,) * enc_l if enc_q else None,
             slot_pos=P(DATA),
             pending_k=(ring,) * enc_l,
             pending_v=(ring,) * enc_l,
-            pending_ks=(scale,) * enc_l if int8 else None,
-            pending_vs=(scale,) * enc_l if int8 else None,
+            pending_ks=(scale,) * enc_l if enc_q else None,
+            pending_vs=(scale,) * enc_l if enc_q else None,
             pending_sp=P(DATA), pending_adv=P(), write_ctr=P(),
             next_pos=P(DATA)),
         decode=DecodeState(

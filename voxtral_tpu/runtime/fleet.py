@@ -34,6 +34,7 @@ from voxtral_tpu.models.encoder import (
     EncoderState, encoder_incremental, init_encoder_state,
 )
 from voxtral_tpu.ops.linear import embed_lookup
+from voxtral_tpu.parallel.sharding import tp_scoped_jit
 
 
 class FleetState(NamedTuple):
@@ -176,7 +177,7 @@ def _fleet_bootstrap_inner(params, cfg: VoxtralConfig, state: FleetState,
     return new_state, tokens, aux
 
 
-@partial(jax.jit, static_argnames=("cfg", "stop_at_eos", "collect_topk"),
+@partial(tp_scoped_jit, static_argnames=("cfg", "stop_at_eos", "collect_topk"),
          donate_argnums=(2,))
 def fleet_step(params, cfg: VoxtralConfig, state: FleetState,
                mel: jax.Array, t_ada: jax.Array, *,
@@ -188,7 +189,7 @@ def fleet_step(params, cfg: VoxtralConfig, state: FleetState,
                              collect_topk=collect_topk)
 
 
-@partial(jax.jit, static_argnames=("cfg", "stop_at_eos"),
+@partial(tp_scoped_jit, static_argnames=("cfg", "stop_at_eos"),
          donate_argnums=(2,))
 def fleet_bootstrap(params, cfg: VoxtralConfig, state: FleetState,
                     mel: jax.Array, t_ada: jax.Array, *,
@@ -197,7 +198,7 @@ def fleet_bootstrap(params, cfg: VoxtralConfig, state: FleetState,
                                   stop_at_eos=stop_at_eos)
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
+@partial(tp_scoped_jit, static_argnames=("cfg",), donate_argnums=(2,))
 def fleet_prefill(params, cfg: VoxtralConfig, state: FleetState,
                   frames: jax.Array, prompt_ids: jax.Array,
                   t_ada: jax.Array) -> FleetState:
@@ -262,7 +263,7 @@ def _device_log_mel(cfg: VoxtralConfig, pcm_tail: jax.Array, pcm: jax.Array):
     return mel_out.astype(jnp.float32), x[:, -lap:]
 
 
-@partial(jax.jit, static_argnames=("cfg", "stop_at_eos", "collect_topk"),
+@partial(tp_scoped_jit, static_argnames=("cfg", "stop_at_eos", "collect_topk"),
          donate_argnums=(2,))
 def fleet_step_pcm(params, cfg: VoxtralConfig, state: FleetState,
                    pcm: jax.Array, t_ada: jax.Array, *,
@@ -280,7 +281,7 @@ def fleet_step_pcm(params, cfg: VoxtralConfig, state: FleetState,
     return new_state, tokens, aux
 
 
-@partial(jax.jit, static_argnames=("cfg", "stop_at_eos"),
+@partial(tp_scoped_jit, static_argnames=("cfg", "stop_at_eos"),
          donate_argnums=(2,))
 def fleet_bootstrap_pcm(params, cfg: VoxtralConfig, state: FleetState,
                         pcm: jax.Array, t_ada: jax.Array, *,
@@ -332,7 +333,7 @@ def _unpack_wire(cfg: VoxtralConfig, wire: jax.Array):
     return pcm, active, forced
 
 
-@partial(jax.jit, static_argnames=("cfg", "stop_at_eos", "collect_topk",
+@partial(tp_scoped_jit, static_argnames=("cfg", "stop_at_eos", "collect_topk",
                                    "wire_packed"),
          donate_argnums=(2,))
 def fleet_step_masked(params, cfg: VoxtralConfig, state: FleetState,
@@ -432,7 +433,7 @@ def age_fleet_state(cfg: VoxtralConfig, state: FleetState,
     return state._replace(encoder=enc, decode=dec)
 
 
-@partial(jax.jit, static_argnames=("cfg", "full"), donate_argnums=(1,))
+@partial(tp_scoped_jit, static_argnames=("cfg", "full"), donate_argnums=(1,))
 def fleet_reset_slots(cfg: VoxtralConfig, state: FleetState,
                       mask: jax.Array, *, full: bool) -> FleetState:
     """Per-slot reset inside a live fleet (attach / watchdog restart).

@@ -126,7 +126,8 @@ class FleetManager:
                  continuous: bool = True, n_alt: int = 1,
                  alt_cutoff: float = 0.0, mesh=None,
                  wire_dtype: str = "f32", monitor=None,
-                 monitor_slow_ms: float = 40.0):
+                 monitor_slow_ms: float = 40.0,
+                 max_steps_per_poll: int | None = None):
         # monitor: optional per-slot pipeline-event hook `monitor(sid, sym)`
         # with the reference's --monitor symbol set (README.md:105-130):
         # ▪/▸ text decode fast/slow, ▫/▹ control-only, ✗/✘ invalid, ◦ EOS,
@@ -203,6 +204,18 @@ class FleetManager:
         self._monitor = monitor
         self.monitor_slow_ms = monitor_slow_ms
         self._last_step_ms = 0.0
+        # Latency mode: bound each poll() to this many device steps; the
+        # remaining backlog (e.g. a watchdog full-reset's prompt-replay +
+        # pushed-back audio, ~6-7 chunks) drains across SUBSEQUENT polls
+        # instead of one multi-step burst. The reference replays in one
+        # burst because its API has no re-poll (voxtral.c:778-824); here
+        # a real-time caller polls again in the idle time between feeds,
+        # so per-poll wall time — the token-delivery jitter — stays
+        # bounded at ~one step. Semantically identical: the same steps
+        # run in the same order, just spread over calls. Multi-host: the
+        # cap is config, identical on every process, so the agreed
+        # call sequence stays in lockstep.
+        self.max_steps_per_poll = max_steps_per_poll
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -246,13 +259,20 @@ class FleetManager:
         voxtral.c:1681-87): the per-layer ada conditioning switches
         immediately; the prompt length applies to FUTURE prompt builds
         (attach / watchdog full resets) — already-prefilled slots keep
-        their current prompt, like the reference."""
+        their current prompt, like the reference. A slot whose prompt
+        replay was latched at attach but has not consumed ANY of it yet
+        (no step run) re-latches to the new length: its prompt is still
+        a future build."""
+        old_lp = self.prompt_len
         self.delay = delay_tokens
         st = self.cfg.streaming
         self.prompt_len = 1 + st.n_left_pad_tokens + self.delay
         self.t_ada = ada_scales(
             self.params["decoder"],
             time_conditioning(self.delay, self.cfg.decoder.dim))
+        for s in self.slots:
+            if s.active and s.pos == 0 and s.replay_left == old_lp - 1:
+                s.replay_left = self.prompt_len - 1
 
     def feed(self, sid: int, samples: np.ndarray):
         s = self.slots[sid]
@@ -316,7 +336,14 @@ class FleetManager:
         Multi-host: every process must call poll() at the same time; the
         number of steps taken is agreed via _any_hosts, so all processes
         run the same compiled-call sequence even when only one of them has
-        ready streams."""
+        ready streams.
+
+        Returns the number of device steps taken. With max_steps_per_poll
+        set (latency mode), at most that many steps run per call and the
+        rest of the backlog waits for the next poll — call again until 0
+        to drain."""
+        cap = self.max_steps_per_poll
+        steps_done = 0
         staged = self._stage_sync({})
         while staged is not None:
             self._apply_resets()           # queued attach/watchdog resets
@@ -340,7 +367,10 @@ class FleetManager:
                 stop_at_eos=not self.continuous, wire_packed=True)
             inflight = {sid: int((staged.forced[sid] >= 0).sum())
                         for sid in staged.part}
-            self._staged_next = self._stage_sync(inflight)  # overlaps step
+            if cap is None or steps_done + 1 < cap:
+                self._staged_next = self._stage_sync(inflight)  # overlaps
+            else:
+                self._staged_next = None       # cap reached after this step
             alts = None
             if topk:
                 # ONE download: tokens + best + top-k vals/idx ride a
@@ -356,16 +386,20 @@ class FleetManager:
                 tokens = self._fetch(tokens)           # wait for the step
             self._last_step_ms = (time.perf_counter() - t0) * 1e3
             self.steps += 1
+            steps_done += 1
             for sid in staged.part:
                 self._consume(sid, tokens[sid], staged.forced[sid],
                               None if alts is None else
                               (alts[0][sid], alts[1][sid], alts[2][sid]))
             staged, self._staged_next = self._staged_next, None
+            if cap is not None and steps_done >= cap:
+                break
             if staged is None:
                 # a restart may have re-buffered samples during consume
                 staged = self._stage_sync({})
         self._apply_resets()   # resets from the final consume (keeps every
         # process's queue drained at the same agreed point)
+        return steps_done
 
     def _any_hosts(self, flags) -> np.ndarray:
         if self._n_procs == 1:

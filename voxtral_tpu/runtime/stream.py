@@ -79,8 +79,10 @@ def _conv1_chunk(w, b, x):
     return jax.nn.gelu(y, approximate=False)[:, 1:]
 
 
-_encoder_chunk = jax.jit(encoder_incremental, static_argnames=("cfg",),
-                         donate_argnums=(2,))
+from voxtral_tpu.parallel.sharding import tp_scoped_jit
+
+_encoder_chunk = tp_scoped_jit(encoder_incremental, static_argnames=("cfg",),
+                               donate_argnums=(2,))
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -98,8 +100,8 @@ def _prefill(dec_params, cfg, state, frames, prompt_ids, prev_token, t_ada):
                           done=jnp.zeros((1,), bool))
 
 
-_decode = jax.jit(decode_scan, donate_argnums=(2,),
-                  static_argnames=("cfg", "collect_topk", "stop_at_eos"))
+_decode = tp_scoped_jit(decode_scan, donate_argnums=(2,),
+                        static_argnames=("cfg", "collect_topk", "stop_at_eos"))
 
 
 @dataclasses.dataclass
