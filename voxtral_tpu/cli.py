@@ -124,7 +124,8 @@ def run_file(args, params, cfg, tokenizer):
         interval=args.interval, delay_tokens=args.delay // 80,
         continuous=args.continuous, monitor=args.monitor,
         n_alt=4 if args.alt is not None else 1,
-        alt_cutoff=args.alt if args.alt is not None else 0.0))
+        alt_cutoff=args.alt if args.alt is not None else 0.0,
+        backend=args.backend))
     sr = cfg.audio.sample_rate
     t0 = time.time()
     for i in range(0, len(audio), sr):            # <=1 s chunks
@@ -150,7 +151,8 @@ def run_stdin(args, params, cfg, tokenizer):
         interval=args.interval, delay_tokens=args.delay // 80,
         continuous=True, monitor=args.monitor,
         n_alt=4 if args.alt is not None else 1,
-        alt_cutoff=args.alt if args.alt is not None else 0.0))
+        alt_cutoff=args.alt if args.alt is not None else 0.0,
+        backend=args.backend))
 
     stdin = sys.stdin.buffer
     first = stdin.read(4)
@@ -197,7 +199,8 @@ def run_mic(args, params, cfg, tokenizer):
         interval=args.interval, delay_tokens=args.delay // 80,
         continuous=True, monitor=args.monitor,
         n_alt=4 if args.alt is not None else 1,
-        alt_cutoff=args.alt if args.alt is not None else 0.0))
+        alt_cutoff=args.alt if args.alt is not None else 0.0,
+        backend=args.backend))
     mic_loop(s, lambda st: drain(st, args), rate=cfg.audio.sample_rate,
              log=lambda m: log(args, 1, m))
     print(flush=True)
@@ -223,6 +226,11 @@ def main(argv=None):
     ap.add_argument("--random-init", type=int, default=None, metavar="SEED")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the run to DIR")
+    ap.add_argument("--backend", default="auto",
+                    choices=("auto", "fused", "bucketed"),
+                    help="streaming engine backend: fused = B=1 fleet "
+                         "(device mel, one program per chunk; default on "
+                         "TPU), bucketed = general ragged-slice path")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the TPU site plugin "
                          "overrides JAX_PLATFORMS, so an env var is not "

@@ -122,6 +122,7 @@ class FleetManager:
                  tokenizer=None, chunk_tokens: int = 20,
                  max_chunk_tokens: int | None = None,
                  delay_tokens: int | None = None, kv_dtype: str = "float",
+                 enc_kv_dtype: str | None = None,
                  enc_ring: int | None = None, dec_ring: int = 2048,
                  continuous: bool = True, n_alt: int = 1,
                  alt_cutoff: float = 0.0, mesh=None,
@@ -184,14 +185,19 @@ class FleetManager:
             time_conditioning(self.delay, cfg.decoder.dim))
         enc_ring = enc_ring or (cfg.encoder.window
                                 + self.max_chunk_tokens * 4 + 8)
+        # enc_kv_dtype="int4": nibble-packed encoder rings — the round-4
+        # headline serving config (see models/encoder.py; bench.py uses
+        # Q8 weights + int8 decoder KV + int4 encoder rings at B=40)
         self.state = init_fleet_state(
             cfg, batch=batch, enc_ring=enc_ring, dec_ring=dec_ring,
-            max_mel_chunk=self.max_chunk_tokens * 8, kv_dtype=kv_dtype)
+            max_mel_chunk=self.max_chunk_tokens * 8, kv_dtype=kv_dtype,
+            enc_kv_dtype=enc_kv_dtype)
         if mesh is not None:
             from voxtral_tpu.parallel.sharding import (
                 fleet_state_pspecs, shard_tree)
             self.state = shard_tree(
-                self.state, fleet_state_pspecs(cfg, kv_dtype), mesh)
+                self.state,
+                fleet_state_pspecs(cfg, kv_dtype, enc_kv_dtype), mesh)
         # slot ids are LOCAL rows (== global rows single-process)
         self.slots = [_Slot() for _ in range(self.local_batch)]
         self._pending_resets: dict = {}    # local sid -> full: bool
