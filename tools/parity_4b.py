@@ -199,19 +199,21 @@ def run(cfg, seconds: float, modes, seed: int = 4242) -> dict:
             import copy
             p = quantize_params(copy.deepcopy(params))
             c = cfg
-        elif mode == "serving":
+        elif mode in ("serving", "serving_int4"):
             # the PRODUCTION config end-to-end: Q8 weights + int8 KV rings
             # through the FleetManager serving path (device-side mel,
             # masked step, scan decode) — the quality proxy for the
-            # benchmark headline configuration
+            # benchmark headline configuration. serving_int4 adds the
+            # round-4 nibble-packed ENCODER rings (bench default B=40).
             import copy
 
             from voxtral_tpu.quant import quantize_params
             from voxtral_tpu.runtime.manager import FleetManager
             p = quantize_params(copy.deepcopy(params))
+            enc_kv = "int4" if mode.endswith("int4") else None
             with FleetManager(p, cfg, batch=1, chunk_tokens=8,
                               dec_ring=2048, continuous=False,
-                              kv_dtype="int8") as mgr:
+                              kv_dtype="int8", enc_kv_dtype=enc_kv) as mgr:
                 sid = mgr.attach()
                 mgr.feed(sid, audio)
                 mgr.finish(sid)
