@@ -85,19 +85,27 @@ def main():
     t_ada = ada_scales(params["decoder"],
                        time_conditioning(cfg.streaming.delay_tokens,
                                          cfg.decoder.dim))
+    enc_kv = os.environ.get("VOX_PROF_ENC_KV", "") or None
     for b in batches:
-        log(f"config: B={b} {wdt} weights, int8 KV, dec ring {DEC_RING}")
+        log(f"config: B={b} {wdt} weights, int8 KV"
+            + (f" (enc {enc_kv})" if enc_kv else "")
+            + f", dec ring {DEC_RING}")
         try:
             fresh, fresh_ms, steady = pb.run_config(
-                params, cfg, t_ada, b, "int8", dec_ring=DEC_RING)
+                params, cfg, t_ada, b, "int8", dec_ring=DEC_RING,
+                enc_kv_dtype=enc_kv)
             log(f"  RESULT B={b} ring={DEC_RING}: fresh {fresh:.1f} "
                 f"audio-s/s ({fresh_ms:.1f} ms/step) | steady {steady:.1f} "
                 f"audio-s/s (context > {DEC_RING * 0.08 / 60:.0f} min)")
         except Exception as e:
             log(f"  FAILED B={b}: {type(e).__name__}: {str(e)[:200]}")
 
-    log(f"VoxStream {MINUTES:.0f}-minute single stream at the full window:")
-    voxstream_longform(params, cfg)
+    if MINUTES >= 1:
+        log(f"VoxStream {MINUTES:.0f}-minute single stream at the full "
+            "window:")
+        voxstream_longform(params, cfg)
+    else:
+        log("VoxStream long-form part skipped (VOX_PROF_MINUTES < 1)")
 
 
 if __name__ == "__main__":
