@@ -26,12 +26,13 @@ from voxtral_tpu.runtime.fleet import (
 from voxtral_tpu.weights import random_params_device
 
 B = int(os.environ.get("VOX_PROF_STREAMS", "32"))
+ENC_KV = os.environ.get("VOX_PROF_ENC_KV", "") or None
 T = int(os.environ.get("VOX_PROF_CHUNK_MEL", "160"))
 KV = os.environ.get("VOX_PROF_KV", "int8")
 Q8 = os.environ.get("VOX_PROF_Q8", "1") == "1"
 
 cfg = voxtral_4b(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
-print(f"config: B={B} T={T} q8={Q8} kv={KV}", file=sys.stderr)
+print(f"config: B={B} T={T} q8={Q8} kv={KV} enc_kv={ENC_KV}", file=sys.stderr)
 params = random_params_device(cfg, seed=0)
 jax.block_until_ready(params)
 if Q8:
@@ -46,7 +47,7 @@ t_ada = ada_scales(params["decoder"],
 # production fleet splits the bootstrap into pending-sized sub-chunks);
 # bootstrap-sized pending OOMs the bf16-weights config at B=25
 state = init_fleet_state(cfg, batch=B, enc_ring=750 + T // 2 + 10,
-                         dec_ring=2048, max_mel_chunk=T, kv_dtype=KV)
+                         dec_ring=2048, max_mel_chunk=T, kv_dtype=KV, enc_kv_dtype=ENC_KV)
 rng = np.random.RandomState(0)
 hop = cfg.audio.hop_length
 pcm = jnp.asarray((rng.rand(B, T * hop) - 0.5).astype(np.float32))
@@ -139,7 +140,7 @@ dec_state, dec_out, t_dec = timeit_carry(
 del mel, h, enc_state, enc_out, frames, dec_state, dec_out, state
 
 s2 = init_fleet_state(cfg, batch=B, enc_ring=912, dec_ring=2048,
-                      max_mel_chunk=320, kv_dtype=KV)
+                      max_mel_chunk=320, kv_dtype=KV, enc_kv_dtype=ENC_KV)
 s2, tok, _ = fleet_step_pcm(params, cfg, s2, pcm, t_ada)  # compile (donates)
 np.asarray(tok)
 t0 = time.perf_counter()
