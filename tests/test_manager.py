@@ -553,3 +553,21 @@ def test_max_steps_per_poll_spreads_restart_recovery(tiny_cfg, tiny_params,
                 break
     assert mgr.slots[sid].restarts > 0         # recovery actually happened
     assert max(polls) <= 1                     # and never burst a poll
+
+
+def test_manager_int4_encoder_rings(tiny_cfg, tiny_params):
+    """enc_kv_dtype="int4" through the full serving path: packed encoder
+    rings, int8 decoder rings; the stream runs attach->feed->finish and
+    emits a full token stream (int4 quantization may flip near-tie
+    argmaxes vs int8, so this pins the machinery, not exact tokens —
+    tools/parity_4b.py mode serving_int4 pins quality at 4B dims)."""
+    audio = _audio(5, seconds=3.0)
+    mgr = FleetManager(tiny_params, tiny_cfg, batch=2, chunk_tokens=8,
+                       dec_ring=64, kv_dtype="int8", enc_kv_dtype="int4",
+                       continuous=False)
+    enc = mgr.state.encoder
+    assert enc.k_ring[0].shape[-1] == tiny_cfg.encoder.attn_dim // 2
+    assert enc.k_ring[0].dtype.name == "int8"      # packed bytes
+    sid = mgr.attach()
+    toks = _serve(mgr, {sid: audio})
+    assert len(toks[sid]) > 10
