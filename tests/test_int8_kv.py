@@ -69,3 +69,11 @@ def test_encoder_int8_rings_track_float(tiny_cfg, tiny_params):
     err = np.abs(outs["int8"] - outs["float"])
     rel = err.max() / (np.abs(outs["float"]).max() + 1e-9)
     assert rel < 0.05, rel
+
+
+def test_decoder_rejects_int4_kv(tiny_cfg):
+    """int4 rings are ENCODER-only (per-token decoder unpack measured
+    slower — SPEED.md); a silent float fallback would double the intended
+    ring HBM and desync fleet_state_pspecs' tree structure (ADVICE r4)."""
+    with pytest.raises(AssertionError, match="encoder-only"):
+        init_decode_state(tiny_cfg, batch=1, kv_dtype="int4")

@@ -264,3 +264,26 @@ def test_kernel_int4_packed_ring_matches_dequant_oracle(case):
                   hkv, hd, extra=(xk, xv, xp))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_kv_packed_ring_width_mismatch_raises():
+    """An EXPLICIT kv_packed that contradicts the ring lane width is a
+    layout bug and must fail loudly (ADVICE r4): a half-lane ring with
+    kv_packed=False would otherwise be silently nibble-decoded, and a
+    full-width ring with kv_packed=True mis-split."""
+    rng = np.random.RandomState(9)
+    b, s, h, hkv, hd, p = 1, 1, 4, 2, 64, 96
+    q = jnp.asarray(rng.randn(b, s, h * hd).astype(np.float32))
+    sp = jnp.zeros((b, p), jnp.int32)
+    q_pos = jnp.ones((b, s), jnp.int32)
+    scales = jnp.ones((b, hkv, p), jnp.float32)
+    half = jnp.zeros((b, p, hkv * hd // 2), jnp.int8)
+    with pytest.raises(ValueError, match="kv_packed"):
+        ring_gqa_attention(q, half, half, sp, q_pos, window=48, heads=h,
+                           kv_heads=hkv, head_dim=hd, k_scale=scales,
+                           v_scale=scales, kv_packed=False, interpret=True)
+    fullw = jnp.zeros((b, p, hkv * hd), jnp.int8)
+    with pytest.raises(ValueError, match="kv_packed"):
+        ring_gqa_attention(q, fullw, fullw, sp, q_pos, window=48, heads=h,
+                           kv_heads=hkv, head_dim=hd, k_scale=scales,
+                           v_scale=scales, kv_packed=True, interpret=True)

@@ -63,6 +63,11 @@ def run_clip(params, cfg, tokenizer, path, interval, sc_kwargs):
         "rtf": wall / max(len(audio) / sr, 1e-9),
         "steps": st["generated"],
         "step_ms": st["decoder_ms"] / max(st["generated"], 1),
+        # fused backend (default on TPU): the step time INCLUDES the
+        # encoder/mel phases (one program covers mel->decode), unlike the
+        # reference's decoder-only stats contract (voxtral.c:1358-1370) —
+        # the report labels which meaning step_ms carries
+        "step_includes_encoder": bool(st.get("step_ms_includes_encoder")),
         "text": text.strip(),
     }
 
@@ -117,6 +122,9 @@ def main(argv=None):
     report = {
         "overall_rtf": round(tot_wall / max(tot_audio, 1e-9), 4),
         "weighted_step_ms": round(w_step, 2),
+        "step_ms_kind": ("full_step_incl_encoder"
+                         if any(r["step_includes_encoder"] for r in results)
+                         else "decoder_only"),
         "short_step_ms": round(avg_step(short), 2) if short else None,
         "long_step_ms": round(avg_step(long_), 2) if long_ else None,
         "clips": len(results), "audio_s": round(tot_audio, 1),

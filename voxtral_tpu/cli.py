@@ -125,7 +125,8 @@ def run_file(args, params, cfg, tokenizer):
         continuous=args.continuous, monitor=args.monitor,
         n_alt=4 if args.alt is not None else 1,
         alt_cutoff=args.alt if args.alt is not None else 0.0,
-        backend=args.backend, kv_dtype=args.kv))
+        backend=args.backend, kv_dtype=args.kv,
+        enc_kv_dtype=args.enc_kv))
     sr = cfg.audio.sample_rate
     t0 = time.time()
     for i in range(0, len(audio), sr):            # <=1 s chunks
@@ -136,11 +137,21 @@ def run_file(args, params, cfg, tokenizer):
     print(flush=True)
     st = s.stats()
     dt = time.time() - t0
-    log(args, 1, f"Encoder: {st['mel_frames']} mel -> "
-        f"{st['generated']} steps ({st['encoder_ms']:.0f} ms)")
-    log(args, 1, f"Decoder: {st['text_tokens']} text tokens "
-        f"({st['generated']} steps) in {st['decoder_ms']:.0f} ms "
-        f"(prefill {st['prefill_ms']:.0f} ms + {st['ms_per_step']:.1f} ms/step)")
+    if st.get("step_ms_includes_encoder"):
+        # fused backend: one program covers mel->decode, so encoder/
+        # prefill phases are not separately timed (stats() reports None)
+        log(args, 1, f"Encoder: {st['mel_frames']} mel -> "
+            f"{st['generated']} steps (fused into the step)")
+        log(args, 1, f"Decoder: {st['text_tokens']} text tokens "
+            f"({st['generated']} steps) in {st['decoder_ms']:.0f} ms "
+            f"({st['ms_per_step']:.1f} ms/step incl. encoder)")
+    else:
+        log(args, 1, f"Encoder: {st['mel_frames']} mel -> "
+            f"{st['generated']} steps ({st['encoder_ms']:.0f} ms)")
+        log(args, 1, f"Decoder: {st['text_tokens']} text tokens "
+            f"({st['generated']} steps) in {st['decoder_ms']:.0f} ms "
+            f"(prefill {st['prefill_ms']:.0f} ms "
+            f"+ {st['ms_per_step']:.1f} ms/step)")
     log(args, 1, f"RTF: {dt / max(st['audio_s'], 1e-9):.3f}")
 
 
@@ -152,7 +163,8 @@ def run_stdin(args, params, cfg, tokenizer):
         continuous=True, monitor=args.monitor,
         n_alt=4 if args.alt is not None else 1,
         alt_cutoff=args.alt if args.alt is not None else 0.0,
-        backend=args.backend, kv_dtype=args.kv))
+        backend=args.backend, kv_dtype=args.kv,
+        enc_kv_dtype=args.enc_kv))
 
     stdin = sys.stdin.buffer
     first = stdin.read(4)
@@ -200,7 +212,8 @@ def run_mic(args, params, cfg, tokenizer):
         continuous=True, monitor=args.monitor,
         n_alt=4 if args.alt is not None else 1,
         alt_cutoff=args.alt if args.alt is not None else 0.0,
-        backend=args.backend, kv_dtype=args.kv))
+        backend=args.backend, kv_dtype=args.kv,
+        enc_kv_dtype=args.enc_kv))
     mic_loop(s, lambda st: drain(st, args), rate=cfg.audio.sample_rate,
              log=lambda m: log(args, 1, m))
     print(flush=True)
@@ -237,6 +250,14 @@ def main(argv=None):
                          "ring HBM/traffic like the serving fleet - "
                          "measured 10.7x vs 3.7x real-time on a 12-min "
                          "stream at the full 8192 window (SPEED.md)")
+    ap.add_argument("--enc-kv", default=None,
+                    choices=("float", "int8", "int4"),
+                    help="ENCODER KV ring storage override for the fused "
+                         "backend (default: follow --kv). int4 nibble-"
+                         "packs the encoder rings - with --kv int8 this "
+                         "is the benchmark headline serving config "
+                         "(SPEED.md round 4); encoder-only (the decoder's "
+                         "per-token unpack measured slower)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the TPU site plugin "
                          "overrides JAX_PLATFORMS, so an env var is not "

@@ -170,6 +170,13 @@ def init_decode_state(cfg: VoxtralConfig, batch: int = 1, dtype=None,
     pending folds can never clobber an in-window slot (rule 4)."""
     d = cfg.decoder
     dt = dtype or cfg.compute_dtype
+    # int4 is ENCODER-only (per-token decoder unpack measured slower than
+    # the DMA it saves — SPEED.md int4 rejection); silently falling through
+    # to float here would double the intended ring HBM and desync the
+    # sharding pspecs' tree structure.
+    assert kv_dtype in ("float", "int8"), \
+        f"decoder kv_dtype must be 'float' or 'int8', got {kv_dtype!r} " \
+        "(int4 rings are encoder-only: pass enc_kv_dtype='int4')"
     ring = ring_size or (d.window + pending_size)
     assert pending_size <= ring
     # 32-row-aligned physical slot axis (int8 tile height; see encoder.py)

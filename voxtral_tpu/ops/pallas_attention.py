@@ -193,7 +193,7 @@ def ring_gqa_attention(q, k_ring, v_ring, slot_pos, q_pos, *,
                        k_scale=None, v_scale=None,
                        extra_k=None, extra_v=None, extra_pos=None,
                        p_limit: int | None = None,
-                       kv_packed: bool = False,
+                       kv_packed: bool | None = None,
                        interpret: bool = False):
     """Batched fused ring attention.
 
@@ -218,12 +218,22 @@ def ring_gqa_attention(q, k_ring, v_ring, slot_pos, q_pos, *,
     p_full = k_ring.shape[1]
     p = p_full if p_limit is None else min(p_limit, p_full)
     assert qd == heads * head_dim
-    if k_ring.shape[-1] * 2 == kv_heads * head_dim:
-        # half-width int8 ring == nibble-packed int4 (the ring layout
-        # contract rules out any other half-lane ring)
-        kv_packed = True
+    half_lane = k_ring.shape[-1] * 2 == kv_heads * head_dim
+    if kv_packed is None:
+        # half-width ring == nibble-packed int4 (the ring layout contract
+        # admits no other half-lane ring today)
+        kv_packed = half_lane
+    elif kv_packed != half_lane:
+        # an explicit caller choice that contradicts the ring width is a
+        # layout bug, not a mode request — decoding a future genuinely
+        # half-width ring as nibbles (or vice versa) must fail loudly
+        raise ValueError(
+            f"kv_packed={kv_packed} but ring lane width "
+            f"{k_ring.shape[-1]} vs kv_dim {kv_heads * head_dim} "
+            f"implies packed={half_lane}")
     assert not kv_packed or k_scale is not None, \
         "int4-packed rings require scales"
+    assert not kv_packed or k_ring.dtype == jnp.int8, k_ring.dtype
     group = heads // kv_heads
     assert 128 % head_dim == 0, head_dim
     kv_dim = kv_heads * head_dim

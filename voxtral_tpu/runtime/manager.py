@@ -111,6 +111,8 @@ class _Slot:
     generated: int = 0
     text_tokens: int = 0
     restarts: int = 0
+    samples_done: int = 0                  # samples the device consumed
+    # (incl. left-pad silence, matching the bucketed mel_cursor semantics)
     # full greedy stream (text + control + eos, replay excluded) — the
     # queue carries only TEXT tokens (reference semantics); tests compare
     # this to a solo run so control-only output is still checked
@@ -394,6 +396,7 @@ class FleetManager:
             self.steps += 1
             steps_done += 1
             for sid in staged.part:
+                self.slots[sid].samples_done += staged.pcm_host.shape[1]
                 self._consume(sid, tokens[sid], staged.forced[sid],
                               None if alts is None else
                               (alts[0][sid], alts[1][sid], alts[2][sid]))

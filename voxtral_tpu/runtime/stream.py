@@ -129,6 +129,12 @@ class StreamConfig:
     # KV ring storage for the fused backend ("float" keeps weight
     # precision; "int8" halves ring HBM like the serving fleet)
     kv_dtype: str = "float"
+    # ENCODER ring storage override for the fused backend (None follows
+    # kv_dtype): "int4" nibble-packs the encoder rings — the benchmark
+    # headline serving config (Q8 weights + int8 decoder KV + int4
+    # encoder rings; SPEED.md round 4). Encoder-only: the decoder's
+    # per-token unpack measured slower than the DMA it saves.
+    enc_kv_dtype: str | None = None
 
 
 class VoxStream:
@@ -174,6 +180,17 @@ class VoxStream:
                 else "bucketed"
         assert backend in ("fused", "bucketed"), backend
         self.backend = backend
+        if backend == "bucketed" and (
+                sc.kv_dtype != "float"
+                or sc.enc_kv_dtype not in (None, "float")):
+            # the bucketed path always runs float rings; silently ignoring
+            # a quantization request would misreport the serving config
+            # (ADVICE r4) — warn instead of erroring so `backend="auto"`
+            # on CPU still runs
+            import warnings
+            warnings.warn(
+                "kv_dtype/enc_kv_dtype are fused-backend options; the "
+                "bucketed backend runs float KV rings", stacklevel=2)
         self._mgr = None
         if backend == "fused":
             self._init_fused()
@@ -205,6 +222,7 @@ class VoxStream:
             chunk_tokens=self._interval_tokens(sc.interval),
             max_chunk_tokens=self._FUSED_CHUNK_CAP,
             delay_tokens=sc.delay_tokens, kv_dtype=sc.kv_dtype,
+            enc_kv_dtype=sc.enc_kv_dtype,
             dec_ring=cfg.decoder.window + self._FUSED_CHUNK_CAP,
             continuous=sc.continuous, n_alt=sc.n_alt,
             alt_cutoff=sc.alt_cutoff,
@@ -740,18 +758,23 @@ class VoxStream:
         gen_s = self.decoder_s - self.prefill_s
         steps = max(self.n_generated - 1, 1)
         if self._mgr is not None:
+            s = self._mgr.slots[0]
             return {
-                # fused: one program covers mel->decode, so encoder/prefill
-                # time is not separable; decoder_ms carries the whole step
-                "mel_frames": self.n_generated * 8,
+                # fused: one program covers mel->conv->encode->decode, so
+                # encoder/prefill time is NOT separable — those phases
+                # report None (not a fake 0.0) and decoder_ms/ms_per_step
+                # carry the WHOLE step, flagged by step_ms_includes_encoder
+                # (reference stats are decoder-only, voxtral.c:1358-1370)
+                "mel_frames": s.samples_done // self.cfg.audio.hop_length,
                 "text_tokens": self.n_text_tokens,
                 "generated": self.n_generated,
-                "encoder_ms": 0.0,
+                "encoder_ms": None,
                 "decoder_ms": self.decoder_s * 1e3,
-                "prefill_ms": 0.0,
+                "prefill_ms": None,
+                "step_ms_includes_encoder": True,
                 "ms_per_step": gen_s * 1e3 / steps,
                 "audio_s": self.real_samples_fed / self.cfg.audio.sample_rate,
-                "restarts": self._mgr.slots[0].restarts,
+                "restarts": s.restarts,
             }
         return {
             "mel_frames": self.mel_cursor,
