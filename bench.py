@@ -285,6 +285,16 @@ def main():
                          kv_dtype=kv_dtype)
     log(f"  {single['audio_s_per_s']:.1f} audio-s/s | "
         f"{single['ms_per_token']:.2f} ms/token")
+    # chunk-320 B=1 variant (round 5, tools/profile_b1.py): device compute
+    # is flat at ~5.6-5.7 ms/token across chunk lengths (96% of the
+    # unamortized-weight-stream cap), so the fixed ~27 ms link sync per
+    # step is the whole B=1 gap — doubling tokens per dispatch halves its
+    # per-token share (+14% measured) at the cost of 3.2 s feed granularity
+    single320 = bench_fleet(params, cfg, t_ada, 1, 320,
+                            enc_ring=750 + 170, dec_ring=2048, warmup=2,
+                            iters=4, kv_dtype=kv_dtype)
+    log(f"  chunk 3.2s: {single320['audio_s_per_s']:.1f} audio-s/s | "
+        f"{single320['ms_per_token']:.2f} ms/token")
 
     log("streaming token latency (FleetManager B=1, -I 0.5, --alt 0.95):")
     lat = bench_latency_serving(params, cfg, dec_ring=2048,
@@ -310,6 +320,8 @@ def main():
         "extra": {
             "steady_state_audio_s_per_s": round(steady["audio_s_per_s"], 2),
             "single_stream_audio_s_per_s": round(single["audio_s_per_s"], 2),
+            "single_stream_c320_audio_s_per_s":
+                round(single320["audio_s_per_s"], 2),
             "batched_ms_per_token": round(fleet["ms_per_token"], 3),
             "single_ms_per_token": round(single["ms_per_token"], 3),
             # measured at the serving API surface (FleetManager poll with

@@ -133,29 +133,44 @@ def reference_tokens(ref, sf, cfg, audio):
     return toks, margins
 
 
-def agreement(got, want):
+def agreement(got, want, margins=None):
     n = min(len(got), len(want))
     same = sum(g == w for g, w in zip(got, want))
     first_div = next((i for i in range(n) if got[i] != want[i]), None)
     if first_div is None and len(got) != len(want):
         first_div = n
-    return {"got_len": len(got), "want_len": len(want), "matching": same,
-            "first_divergence": first_div,
-            "exact": got == want}
+    r = {"got_len": len(got), "want_len": len(want), "matching": same,
+         "first_divergence": first_div,
+         "exact": got == want}
+    if margins is not None and first_div is not None \
+            and first_div < len(margins):
+        # the reference's top-2 logit margin at the first flipped step:
+        # a tiny value says the flip is a quantization near-tie, not a
+        # state/machinery bug (state bugs flip wide-margin steps too)
+        r["margin_at_divergence"] = float(margins[first_div])
+    return r
 
 
 def full_dim_config(enc_layers: int | None = None,
-                    dec_layers: int | None = None):
+                    dec_layers: int | None = None,
+                    dec_window: int | None = None):
+    """dec_window shrinks the decoder attention window (torch side windows
+    identically — patch_dims sets ref.DEC_WINDOW, the cache trim at
+    python_simple_implementation.py:573-578) so a short clip can wrap the
+    serving decode ring at full 4B dims (VERDICT r4 missing #4)."""
     cfg = voxtral_4b(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
     return dataclasses.replace(
         cfg,
         encoder=dataclasses.replace(cfg.encoder,
                                     layers=enc_layers or cfg.encoder.layers),
-        decoder=dataclasses.replace(cfg.decoder,
-                                    layers=dec_layers or cfg.decoder.layers))
+        decoder=dataclasses.replace(
+            cfg.decoder,
+            layers=dec_layers or cfg.decoder.layers,
+            window=dec_window or cfg.decoder.window))
 
 
-def run(cfg, seconds: float, modes, seed: int = 4242) -> dict:
+def run(cfg, seconds: float, modes, seed: int = 4242,
+        dec_ring: int = 2048) -> dict:
     """Generate bf16 weights at cfg's dims, get reference greedy tokens via
     the torch implementation, run our pipeline in each mode, and return the
     agreement report (tests/test_parity_4b_dims.py calls this with reduced
@@ -199,21 +214,36 @@ def run(cfg, seconds: float, modes, seed: int = 4242) -> dict:
             import copy
             p = quantize_params(copy.deepcopy(params))
             c = cfg
-        elif mode in ("serving", "serving_int4"):
-            # the PRODUCTION config end-to-end: Q8 weights + int8 KV rings
-            # through the FleetManager serving path (device-side mel,
-            # masked step, scan decode) — the quality proxy for the
-            # benchmark headline configuration. serving_int4 adds the
-            # round-4 nibble-packed ENCODER rings (bench default B=40).
+        elif mode in ("serving", "serving_int4", "serving_float"):
+            # the PRODUCTION path end-to-end: the FleetManager serving
+            # loop (device-side mel, masked step, scan decode, ring
+            # folds). serving/serving_int4 = Q8 weights + int8 KV rings
+            # (serving_int4 adds the round-4 nibble-packed ENCODER rings
+            # — the bench default B=40): the quality proxy for the
+            # benchmark headline. serving_float = f32 weights + float KV
+            # rings: bit-parity mode for the ring STATE MACHINERY itself
+            # (wrap + fold + logical-position masks + forced replay) at
+            # real 4B dims, where quantization near-ties can't mask or
+            # mimic a state bug — must match torch exactly even when
+            # dec_ring wraps (the regime voxtral_decoder.c:354-384's
+            # compaction covers; VERDICT r4 missing #4).
             import copy
 
             from voxtral_tpu.quant import quantize_params
             from voxtral_tpu.runtime.manager import FleetManager
-            p = quantize_params(copy.deepcopy(params))
-            enc_kv = "int4" if mode.endswith("int4") else None
-            with FleetManager(p, cfg, batch=1, chunk_tokens=8,
-                              dec_ring=2048, continuous=False,
-                              kv_dtype="int8", enc_kv_dtype=enc_kv) as mgr:
+            if mode == "serving_float":
+                p = jax.tree.map(lambda x: x.astype(jnp.float32), params)
+                c = cfg.with_dtype(jnp.float32)
+                kv, enc_kv = "float", None
+            else:
+                p = quantize_params(copy.deepcopy(params))
+                c = cfg
+                kv = "int8"
+                enc_kv = "int4" if mode.endswith("int4") else None
+            # dec_ring < the token count makes the ring WRAP mid-clip
+            with FleetManager(p, c, batch=1, chunk_tokens=8,
+                              dec_ring=dec_ring, continuous=False,
+                              kv_dtype=kv, enc_kv_dtype=enc_kv) as mgr:
                 sid = mgr.attach()
                 mgr.feed(sid, audio)
                 mgr.finish(sid)
@@ -223,7 +253,7 @@ def run(cfg, seconds: float, modes, seed: int = 4242) -> dict:
                        if t != cfg.streaming.eos]
             del p
             gc.collect()
-            r = agreement(got, want)
+            r = agreement(got, want, margins)
             log(f"mode {mode}: {r} ({time.perf_counter() - t0:.1f}s)")
             report[mode] = r
             continue
@@ -247,13 +277,19 @@ def main():
         int(os.environ["VOX_4B_ENC_LAYERS"])
         if "VOX_4B_ENC_LAYERS" in os.environ else None,
         int(os.environ["VOX_4B_DEC_LAYERS"])
-        if "VOX_4B_DEC_LAYERS" in os.environ else None)
+        if "VOX_4B_DEC_LAYERS" in os.environ else None,
+        int(os.environ["VOX_4B_DEC_WINDOW"])
+        if "VOX_4B_DEC_WINDOW" in os.environ else None)
+    dec_ring = int(os.environ.get("VOX_4B_DEC_RING", "2048"))
     log(f"config: enc {cfg.encoder.layers}L/{cfg.encoder.dim}, "
-        f"dec {cfg.decoder.layers}L/{cfg.decoder.dim}, "
+        f"dec {cfg.decoder.layers}L/{cfg.decoder.dim} "
+        f"window {cfg.decoder.window} ring {dec_ring}, "
         f"vocab {cfg.decoder.vocab_size}, {seconds}s audio, seed {seed}")
-    report = run(cfg, seconds, modes, seed)
+    report = run(cfg, seconds, modes, seed, dec_ring=dec_ring)
     print("PARITY_4B", report)
-    sys.exit(0 if report.get("f32", {}).get("exact", True) else 1)
+    # the bit-parity modes must be exact; quantized modes report agreement
+    sys.exit(0 if all(report.get(m, {}).get("exact", True)
+                      for m in ("f32", "serving_float")) else 1)
 
 
 if __name__ == "__main__":

@@ -143,11 +143,24 @@ def _kernel(refs, *, window, group, hd, has_extra, has_scales, packed):
                   & (xp[None, :] >= lo[:, None]))        # [S, Sx]
     q_all = q_ref[0]                                     # [S, group*blk]
 
+    k_halves = v_halves = None
+    if packed:
+        # Unpack the WHOLE lane block once per grid cell, then slice per
+        # sub-head: the shift/convert ops run on full-lane-width
+        # [P, rblk] arrays instead of sub x [P, hd/2] slices (hd/2 = 32
+        # encoder lanes would waste 3/4 of each 128-lane VPU op), and the
+        # cast to the MXU dtype happens once at full width. Elementwise,
+        # so slice-after-unpack == unpack-after-slice.
+        from voxtral_tpu.quant import unpack_int4
+        mxu_dt = q_all.dtype
+        k_halves = tuple(h.astype(mxu_dt) for h in unpack_int4(k_ref[0]))
+        v_halves = tuple(h.astype(mxu_dt) for h in unpack_int4(v_ref[0]))
+
     for j in range(sub):                # static unroll over kv sub-heads
         if packed:
-            from voxtral_tpu.quant import unpack_int4
-            k_blk = unpack_int4(k_ref[0, :, j * kv_w:(j + 1) * kv_w])
-            v_blk = unpack_int4(v_ref[0, :, j * kv_w:(j + 1) * kv_w])
+            sl = slice(j * kv_w, (j + 1) * kv_w)
+            k_blk = (k_halves[0][:, sl], k_halves[1][:, sl])
+            v_blk = (v_halves[0][:, sl], v_halves[1][:, sl])
         else:
             k_blk = k_ref[0, :, j * hd:(j + 1) * hd]     # [P, hd]
             v_blk = v_ref[0, :, j * hd:(j + 1) * hd]
