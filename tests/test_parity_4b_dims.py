@@ -4,30 +4,46 @@ tiny-config goldens cannot exercise the hd=128 decode path or the
 131072-wide argmax. Layer counts are reduced to keep CI fast; the full
 26/32-layer run is tools/parity_4b.py (results recorded in SPEED.md).
 
+Each case runs tools/parity_4b.py in a SUBPROCESS: the torch oracle +
+multi-GB f32 trees contaminate the long-running pytest process (an XLA
+CPU compile segfault was traced to in-process state after the 4B section,
+round 5) — isolation also frees the memory deterministically.
+
 Skip with VOX_SKIP_4B=1 on memory-constrained machines (needs ~8 GB RAM
 for the f32 torch side)."""
 
+import ast
 import os
+import subprocess
 import sys
 
 import pytest
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+TOOL = os.path.join(os.path.dirname(__file__), "..", "tools", "parity_4b.py")
+
+pytestmark = pytest.mark.skipif(os.environ.get("VOX_SKIP_4B") == "1",
+                                reason="VOX_SKIP_4B=1")
 
 
-@pytest.mark.skipif(os.environ.get("VOX_SKIP_4B") == "1",
-                    reason="VOX_SKIP_4B=1")
+def run_parity(env_overrides, timeout=2700):
+    env = {**os.environ, **env_overrides}
+    p = subprocess.run([sys.executable, TOOL], capture_output=True,
+                       text=True, env=env, timeout=timeout)
+    assert p.returncode == 0, (p.returncode, p.stderr[-2000:])
+    line = next(ln for ln in p.stdout.splitlines()
+                if ln.startswith("PARITY_4B "))
+    return ast.literal_eval(line[len("PARITY_4B "):])
+
+
 def test_full_dim_f32_parity_one_layer():
-    import parity_4b as p4
-
-    cfg = p4.full_dim_config(enc_layers=1, dec_layers=1)
-    report = p4.run(cfg, seconds=0.7, modes=["f32"], seed=77)
+    report = run_parity({
+        "VOX_4B_ENC_LAYERS": "1", "VOX_4B_DEC_LAYERS": "1",
+        "VOX_4B_SECONDS": "0.7", "VOX_4B_SEED": "77",
+        "VOX_4B_MODES": "f32"})
     assert report["tokens"] > 4
     assert report["f32"]["exact"], report
 
 
-@pytest.mark.skipif(os.environ.get("VOX_SKIP_4B") == "1",
-                    reason="VOX_SKIP_4B=1")
 def test_full_dim_ring_wrap_serving_exact():
     """Decoder ring WRAP at real 4B dims (VERDICT r4 missing #4): window
     64 / ring 96 with a 13 s clip decodes ~174 positions — past the padded
@@ -40,10 +56,10 @@ def test_full_dim_ring_wrap_serving_exact():
     26-layer serving/serving_int4 runs (SPEED.md, exact 36/36); the
     standalone wrap + prefix-bucket-switch runs (ring 384, 324 tokens) are
     recorded in SPEED.md round 5."""
-    import parity_4b as p4
-
-    cfg = p4.full_dim_config(enc_layers=1, dec_layers=1, dec_window=64)
-    report = p4.run(cfg, seconds=13.0, modes=["serving_float"], seed=78,
-                    dec_ring=96)
+    report = run_parity({
+        "VOX_4B_ENC_LAYERS": "1", "VOX_4B_DEC_LAYERS": "1",
+        "VOX_4B_DEC_WINDOW": "64", "VOX_4B_DEC_RING": "96",
+        "VOX_4B_SECONDS": "13", "VOX_4B_SEED": "78",
+        "VOX_4B_MODES": "serving_float"})
     assert report["tokens"] > 140          # well past the 120-slot ring
     assert report["serving_float"]["exact"], report

@@ -15,6 +15,11 @@
   --monitor     live pipeline symbols on stderr
   --debug / --silent   verbosity
   --parity      f32 compute (bit-parity mode) instead of bf16
+  --backend fused|bucketed   streaming backend (fused = B=1 fleet,
+                default on TPU)
+  --kv int8     int8 KV rings for the fused backend; --enc-kv int4
+                additionally nibble-packs the ENCODER rings — together
+                the benchmark headline serving configuration (SPEED.md)
   --random-init SEED   synthetic random weights (no model dir needed);
                 combine with --tiny for the miniature config
 
