@@ -1,13 +1,18 @@
 # Developer entry points (the reference's Makefile analogue).
 PY ?= python
 
-.PHONY: test bench native quantize inspect regress clean
+.PHONY: test bench soak native quantize inspect regress clean
 
 test:
 	$(PY) -m pytest tests/ -q
 
 bench:
 	$(PY) bench.py
+
+# minutes-long FleetManager soak under stream churn on the real chip
+# (VOX_SOAK_* env knobs — see tools/soak_serving.py)
+soak:
+	$(PY) tools/soak_serving.py
 
 # build the native C++ audio frontend explicitly (auto-built on first use)
 native:

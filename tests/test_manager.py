@@ -571,3 +571,98 @@ def test_manager_int4_encoder_rings(tiny_cfg, tiny_params):
     sid = mgr.attach()
     toks = _serve(mgr, {sid: audio})
     assert len(toks[sid]) > 10
+
+
+def test_detached_slot_reuse_matches_solo(tiny_cfg, tiny_params):
+    """Slot lifecycle under churn: a slot freed by finish() + detach() and
+    re-attached serves its NEW stream bit-identically to a solo run — no
+    state bleed (rings, cursors, watchdog clocks, token queues) survives
+    slot reuse, even while a neighbor stream stays live across the swap.
+    tools/soak_serving.py churns exactly this lifecycle at 4B scale."""
+    a0 = _audio(11, seconds=2.0)
+    a1 = _audio(12, seconds=3.0)
+    a2 = _audio(13, seconds=2.0)
+    solo2 = _solo_tokens(tiny_params, tiny_cfg, a2)
+
+    mgr = FleetManager(tiny_params, tiny_cfg, batch=2, chunk_tokens=8,
+                       dec_ring=256, continuous=True)
+    s0, s1 = mgr.attach(), mgr.attach()
+    # run s0 to completion while s1 is mid-flight
+    for i in range(0, len(a0), 16000):
+        mgr.feed(s0, a0[i:i + 16000])
+        mgr.feed(s1, a1[i:i + 16000])
+        mgr.poll()
+    fed1 = (len(a0) // 16000) * 16000
+    mgr.finish(s0)
+    for _ in range(64):
+        if mgr.is_finished(s0):
+            break
+        mgr.poll()
+    assert mgr.is_finished(s0)
+    mgr.detach(s0)
+    s2 = mgr.attach()
+    assert s2 == s0                        # the freed slot is reused
+    assert mgr.slots[s2].all_ids == []     # fresh slot state
+    got = _serve(mgr, {s2: a2, s1: a1[fed1:]})
+    assert got[s2] == solo2
+
+
+def test_abrupt_detach_slot_reuse_matches_solo(tiny_cfg, tiny_params):
+    """Caller-abandoned stream: detach() WITHOUT finish(), mid-stream, with
+    audio still buffered. attach() must hand out the slot with no bleed
+    from the abandoned stream's rings/cursors/buffers (attach queues a
+    full device-row reset; the stale host buffer dies with the old _Slot)."""
+    a0 = _audio(21, seconds=3.0)
+    a2 = _audio(22, seconds=2.0)
+    solo2 = _solo_tokens(tiny_params, tiny_cfg, a2)
+
+    mgr = FleetManager(tiny_params, tiny_cfg, batch=1, chunk_tokens=8,
+                       dec_ring=256, continuous=True)
+    s0 = mgr.attach()
+    mgr.feed(s0, a0[:32000])
+    mgr.poll()
+    mgr.feed(s0, a0[32000:])       # leave un-consumed audio behind
+    mgr.detach(s0)                 # abandon: no finish(), no drain
+    s2 = mgr.attach()
+    assert s2 == s0
+    got = _serve(mgr, {s2: a2})
+    assert got[s2] == solo2
+
+
+def test_meshed_manager_slot_churn_matches_solo(tiny_cfg, tiny_params):
+    """Slot churn (finish -> detach -> attach reuse) under a data x model
+    mesh: the deferred-reset agreement path must hand the reused slot out
+    clean while the sibling stream keeps running sharded — the multi-chip
+    deployment's serving lifecycle (tools/soak_serving.py at fleet scale,
+    here pinned bit-exact at tiny config on the virtual mesh)."""
+    import jax
+    from voxtral_tpu.parallel.sharding import make_mesh
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    if tiny_cfg.decoder.kv_heads % 2 or tiny_cfg.encoder.heads % 2:
+        pytest.skip("tiny config heads not 2-divisible")
+    a0 = _audio(31, seconds=2.0)
+    a1 = _audio(32, seconds=3.0)
+    a2 = _audio(33, seconds=2.0)
+    solo2 = _solo_tokens(tiny_params, tiny_cfg, a2)
+
+    with FleetManager(tiny_params, tiny_cfg, batch=2, chunk_tokens=8,
+                      dec_ring=256, continuous=True, kv_dtype="int8",
+                      mesh=make_mesh(2, 2)) as mgr:
+        s0, s1 = mgr.attach(), mgr.attach()
+        for i in range(0, len(a0), 16000):
+            mgr.feed(s0, a0[i:i + 16000])
+            mgr.feed(s1, a1[i:i + 16000])
+            mgr.poll()
+        fed1 = (len(a0) // 16000) * 16000
+        mgr.finish(s0)
+        for _ in range(64):
+            if mgr.is_finished(s0):
+                break
+            mgr.poll()
+        assert mgr.is_finished(s0)
+        mgr.detach(s0)
+        s2 = mgr.attach()
+        assert s2 == s0
+        got = _serve(mgr, {s2: a2, s1: a1[fed1:]})
+    assert got[s2] == solo2
