@@ -48,6 +48,8 @@ Env: VOX_SOAK_STREAMS=40 VOX_SOAK_SECONDS=300 VOX_SOAK_MIN_S=20
      VOX_SOAK_WIRE=f32 (s16 halves bytes but measured slower on this
                         tunnel — SPEED.md serving-path entry)
      VOX_SOAK_ALT=0 (n_alt-1; >0 adds the packed top-k download)
+     VOX_SOAK_PHASES=1: report the wall-time split (feed / device steps /
+                        stage-entry uploads / resets / rest-of-poll)
      VOX_SOAK_TINY=1: tiny_config on CPU (mechanism smoke, not a number)
 """
 import os
@@ -78,6 +80,7 @@ _cap = int(os.environ.get("VOX_SOAK_CAP", "-1"))
 CAP = DEPTH if _cap < 0 else (_cap or None)
 WIRE = os.environ.get("VOX_SOAK_WIRE", "f32")
 ALT = int(os.environ.get("VOX_SOAK_ALT", "0"))
+PHASES = os.environ.get("VOX_SOAK_PHASES", "0") == "1"
 
 
 def log(m):
@@ -122,6 +125,18 @@ def main():
 
     live = [new_stream() for _ in range(B)]
     finishing = set()
+    phase_s = {"stage": 0.0, "resets": 0.0}
+    if PHASES:
+        def timed(name, fn):
+            def wrap(*a, **kw):
+                t0 = time.perf_counter()
+                try:
+                    return fn(*a, **kw)
+                finally:
+                    phase_s[name] += time.perf_counter() - t0
+            return wrap
+        mgr._stage_sync = timed("stage", mgr._stage_sync)
+        mgr._apply_resets = timed("resets", mgr._apply_resets)
     # lifetime accumulators: mgr.stats() sums only LIVE slots, and attach()
     # resets a reused slot's counters — fold a stream's numbers in as it
     # is detached so restarts/tokens cover every stream the soak served
@@ -150,6 +165,8 @@ def main():
     audio_fed_s = 0.0
     churn = 0
     max_depth = 0
+    feed_s = 0.0
+    step_ms0 = mgr.step_ms_total
     t_start = time.perf_counter()
     t_mid_logged = False
     it = 0
@@ -159,6 +176,7 @@ def main():
         # consumed) — the feed lead that lets poll() overlap uploads with
         # compute while keeping every step at full occupancy; retire
         # streams that hit their lifetime
+        t_feed = time.perf_counter()
         for sid in list(live):
             if sid in finishing:
                 continue
@@ -174,6 +192,7 @@ def main():
                     finishing.add(sid)
                     break
         t0 = time.perf_counter()
+        feed_s += t0 - t_feed
         mgr.poll()
         poll_ms.append((time.perf_counter() - t0) * 1e3)
         depth = max((len(mgr.slots[sid].buf) // chunk_samp for sid in live),
@@ -219,6 +238,15 @@ def main():
         f"{done_restarts + st['restarts']} watchdog restarts, "
         f"{done_tokens + st['generated']} tokens over all streams, "
         f"max backlog {max_depth} chunks")
+    if PHASES:
+        poll_s = sum(poll_ms) / 1e3
+        step_s = (mgr.step_ms_total - step_ms0) / 1e3
+        log(f"PHASES over {wall:.1f}s wall: feed {feed_s:.1f}s | poll "
+            f"{poll_s:.1f}s = device steps (incl. overlapped staging) "
+            f"{step_s:.1f}s + residual {poll_s - step_s:.1f}s | "
+            f"stage total (entry-sync + overlapped) {phase_s['stage']:.1f}s "
+            f"| resets {phase_s['resets']:.1f}s | outside both "
+            f"{wall - feed_s - poll_s:.1f}s")
 
 
 if __name__ == "__main__":

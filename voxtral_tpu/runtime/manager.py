@@ -212,6 +212,12 @@ class FleetManager:
         self._monitor = monitor
         self.monitor_slow_ms = monitor_slow_ms
         self._last_step_ms = 0.0
+        # cumulative wall time inside device steps (dispatch -> tokens
+        # fetched, incl. the overlapped next-chunk staging): poll() wall
+        # minus this is the host-side share (stage-entry upload, resets,
+        # consume) — the serving-pipeline attribution tools/soak_serving.py
+        # and profilers read via stats()["step_ms_total"]
+        self.step_ms_total = 0.0
         # Latency mode: bound each poll() to this many device steps; the
         # remaining backlog (e.g. a watchdog full-reset's prompt-replay +
         # pushed-back audio, ~6-7 chunks) drains across SUBSEQUENT polls
@@ -393,6 +399,7 @@ class FleetManager:
             else:
                 tokens = self._fetch(tokens)           # wait for the step
             self._last_step_ms = (time.perf_counter() - t0) * 1e3
+            self.step_ms_total += self._last_step_ms
             self.steps += 1
             steps_done += 1
             for sid in staged.part:
@@ -673,6 +680,7 @@ class FleetManager:
         from voxtral_tpu.utils import device_memory_gb
         return {
             "steps": self.steps,
+            "step_ms_total": round(self.step_ms_total, 1),
             "streams": sum(s.active for s in self.slots),
             "generated": sum(s.generated for s in self.slots),
             "text_tokens": sum(s.text_tokens for s in self.slots),
