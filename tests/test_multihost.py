@@ -75,6 +75,60 @@ def test_two_process_dp_matches_single_process(tmp_path):
         assert got[g] == want[g], f"stream {g}: multihost tokens diverge"
 
 
+def test_two_process_asymmetric_churn_matches_solo(tmp_path):
+    """Slot churn on ONE host of a 2-process DP fleet (finish -> detach ->
+    attach a new stream into the reused slot) while the other host's rows
+    keep feeding live audio: the deferred-reset agreement and forced-replay
+    projection must keep every process's compiled-call sequence in lockstep,
+    and every stream — original, reborn, and the siblings that lived through
+    the churn — must match its solo single-process run exactly."""
+    cfg = tiny_config()
+    params = random_params(cfg, seed=0)
+
+    def solo(audio):
+        with FleetManager(params, cfg, batch=1, chunk_tokens=8,
+                          dec_ring=256, continuous=True,
+                          kv_dtype="int8") as m:
+            sid = m.attach()
+            m.feed(sid, audio)
+            m.finish(sid)
+            while not m.is_finished(sid):
+                m.poll()
+            return list(m.slots[sid].all_ids)
+
+    want = {0: solo(mw.stream_audio(0)),
+            mw.REBORN_SEED: solo(mw.stream_audio(mw.REBORN_SEED))}
+    for g in (1, 2, 3):
+        want[g] = solo(np.concatenate([
+            mw.stream_audio(g),
+            mw.stream_audio(1000 + g, mw.EXTRA_SECONDS)]))
+
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    outs = [str(tmp_path / f"churn{p}.json") for p in range(2)]
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(p), "2", str(port), outs[p], "churn"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for p in range(2)]
+    logs = [p.communicate(timeout=840) for p in procs]
+    for p, (so, se) in zip(procs, logs):
+        assert p.returncode == 0, (
+            f"worker {p.args} failed:\n{se.decode()[-3000:]}")
+
+    got = {}
+    for path in outs:
+        with open(path) as f:
+            d = json.load(f)
+        for k, v in d["streams"].items():
+            got[int(k)] = v
+    assert sorted(got) == sorted(want)
+    for g in sorted(want):
+        assert got[g] == want[g], (
+            f"stream {g}: tokens diverge across the asymmetric churn")
+
+
 def test_host_row_range_partition():
     """host_row_range math on a single-process mesh degenerates to the full
     batch (and asserts on indivisible batches)."""
