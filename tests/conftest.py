@@ -26,6 +26,21 @@ REFERENCE_DIR = os.environ.get("VOXTRAL_REFERENCE", "/root/reference")
 FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _bound_compile_accumulation():
+    """Clear JAX's compiled-executable caches between test modules.
+
+    The suite compiles 200+ CPU programs in one process (8 virtual
+    devices, 'highest' precision); past ~120 accumulated executables the
+    jaxlib CPU client segfaults/aborts inside backend_compile on this
+    image (observed 08-21 at test_quant's pipeline compile after the full
+    prefix — deterministic, position-dependent, and gone with any shorter
+    prefix). Bounding accumulation per module keeps the suite green at
+    the cost of cross-module recompiles."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def tiny_cfg():
     return tiny_config()

@@ -47,6 +47,9 @@ Env: VOX_SOAK_STREAMS=40 VOX_SOAK_SECONDS=300 VOX_SOAK_MIN_S=20
      VOX_SOAK_CAP=-1 (max device steps per poll; -1 = DEPTH, 0 = uncapped)
      VOX_SOAK_WIRE=f32 (s16 halves bytes but measured slower on this
                         tunnel — SPEED.md serving-path entry)
+     VOX_SOAK_PIPE=1 (FleetManager pipeline_steps: 2 dispatches step k+1
+                      before fetching step k's tokens, hiding the per-step
+                      host sync — throughput mode)
      VOX_SOAK_ALT=0 (n_alt-1; >0 adds the packed top-k download)
      VOX_SOAK_PHASES=1: report the wall-time split (feed / device steps /
                         stage-entry uploads / resets / rest-of-poll)
@@ -79,6 +82,7 @@ DEPTH = int(os.environ.get("VOX_SOAK_DEPTH", "4"))
 _cap = int(os.environ.get("VOX_SOAK_CAP", "-1"))
 CAP = DEPTH if _cap < 0 else (_cap or None)
 WIRE = os.environ.get("VOX_SOAK_WIRE", "f32")
+PIPE = int(os.environ.get("VOX_SOAK_PIPE", "1"))
 ALT = int(os.environ.get("VOX_SOAK_ALT", "0"))
 PHASES = os.environ.get("VOX_SOAK_PHASES", "0") == "1"
 
@@ -107,7 +111,8 @@ def main():
     mgr = FleetManager(params, cfg, batch=B, chunk_tokens=20, kv_dtype=KV,
                        enc_kv_dtype=ENC_KV, continuous=True,
                        n_alt=1 + ALT, alt_cutoff=0.95 if ALT else 0.0,
-                       wire_dtype=WIRE, max_steps_per_poll=CAP)
+                       wire_dtype=WIRE, max_steps_per_poll=CAP,
+                       pipeline_steps=PIPE)
     chunk_samp = mgr.chunk_samp
     chunk_s = chunk_samp / cfg.audio.sample_rate
     rng = np.random.RandomState(7)
@@ -144,7 +149,7 @@ def main():
 
     log(f"soak: {B} streams, Q8 + {KV} KV + {ENC_KV or KV} enc rings, "
         f"lifetimes {MIN_S:.0f}-{MAX_S:.0f}s, {SECONDS:.0f}s wall, "
-        f"{WIRE} wire, n_alt={1 + ALT}, depth {DEPTH}, poll cap {CAP}")
+        f"{WIRE} wire, n_alt={1 + ALT}, depth {DEPTH}, poll cap {CAP}, pipeline {PIPE}")
     # warmup: compile the masked step + prefill programs outside the timed
     # region (first poll otherwise lands a ~60 s compile in the stats)
     t0 = time.perf_counter()

@@ -82,6 +82,14 @@ class _Staged:
     pcm_host: "np.ndarray" = None          # [B, chunk] wire-dtype rows
     dirty: bool = False                    # active/forced edited after the
     # wire upload (watchdog un-staging) -> re-pack + re-upload at dispatch
+    out: object = None                     # device output handle (tokens or
+    # packed aux) once dispatched, fetched at retire (pipeline_steps > 1
+    # keeps it unfetched while the NEXT step runs)
+    t_dispatch: float = 0.0
+    discard: set = dataclasses.field(default_factory=set)  # sids whose rows
+    # were already on the device when a watchdog restart hit: their tokens
+    # are dropped at retire and their samples pushed back (the queued reset
+    # erases the step's state writes for those rows)
 
 
 @dataclasses.dataclass
@@ -130,7 +138,8 @@ class FleetManager:
                  alt_cutoff: float = 0.0, mesh=None,
                  wire_dtype: str = "f32", monitor=None,
                  monitor_slow_ms: float = 40.0,
-                 max_steps_per_poll: int | None = None):
+                 max_steps_per_poll: int | None = None,
+                 pipeline_steps: int = 1):
         # monitor: optional per-slot pipeline-event hook `monitor(sid, sym)`
         # with the reference's --monitor symbol set (README.md:105-130):
         # ▪/▸ text decode fast/slow, ▫/▹ control-only, ✗/✘ invalid, ◦ EOS,
@@ -208,7 +217,20 @@ class FleetManager:
         self.steps = 0
         assert wire_dtype in ("f32", "s16"), wire_dtype
         self.wire_dtype = wire_dtype
-        self._staged_next = None       # _Staged in flight during consume
+        self._staged_next = None       # staged, not yet dispatched (<= 1)
+        self._dispatched = []          # dispatched _Staged awaiting retire
+        self._inflight_sids = set()    # raw-sample owners still in flight
+        # pipeline_steps=2: dispatch step k+1 BEFORE fetching step k's
+        # tokens, hiding the ~26 ms/step host sync this tunnel charges for
+        # every dispatch-fetch round trip (SPEED.md round-5 serving soak).
+        # Token streams are identical: a watchdog restart discovered in
+        # step k's tokens DISCARDS the restarting stream's already-running
+        # step-k+1 row (samples pushed back, replayed after the queued
+        # reset — same recovery the un-staging path performs one step
+        # earlier); all other rows are unaffected. Trade-off: up to one
+        # extra step of recovery delay and per-poll latency — use for
+        # throughput serving, keep 1 (the default) for latency mode.
+        self.pipeline_steps = max(1, pipeline_steps)
         self._monitor = monitor
         self.monitor_slow_ms = monitor_slow_ms
         self._last_step_ms = 0.0
@@ -259,7 +281,8 @@ class FleetManager:
         init, so any chunk up to that bound folds exactly; a new size only
         compiles a new step program (cached per shape). Must be called
         between polls (no staged chunk in flight)."""
-        assert self._staged_next is None, "chunk change with a step in flight"
+        assert self._staged_next is None and not self._dispatched, \
+            "chunk change with a step in flight"
         if chunk_tokens > self.max_chunk_tokens:
             raise ValueError(
                 f"chunk_tokens {chunk_tokens} exceeds max_chunk_tokens "
@@ -357,39 +380,58 @@ class FleetManager:
         rest of the backlog waits for the next poll — call again until 0
         to drain."""
         cap = self.max_steps_per_poll
-        steps_done = 0
-        staged = self._stage_sync({})
-        while staged is not None:
-            self._apply_resets()           # queued attach/watchdog resets
-            topk = self.n_alt - 1 if self.n_alt > 1 else 0
+        cap = max(1, cap) if cap is not None else None
+        depth = self.pipeline_steps
+        topk = self.n_alt - 1 if self.n_alt > 1 else 0
+        steps_done = dispatched = 0
+        t_last_retire = time.perf_counter()
+        self._staged_next = self._stage_sync({})
+        while self._staged_next is not None or self._dispatched:
+            # dispatch while the pipeline has room and the cap allows;
             # Non-continuous streams stop decoding at EOS ON DEVICE (the
             # per-slot `done` flag freezes the slot until reset), matching
             # VoxStream/batch/the reference (voxtral.c:1098-1184: EOS ends
             # decode outside continuous mode). Continuous mode instead
             # restarts via the host watchdog at the chunk boundary.
-            t0 = time.perf_counter()
-            if staged.dirty:
-                # a watchdog restart edited the staged rows after their
-                # wire upload — re-pack and re-upload (rare path)
-                staged.pcm_dev = self._put(
-                    pack_wire(staged.pcm_host, staged.active, staged.forced),
-                    P(DATA, None))
-                staged.dirty = False
-            self.state, tokens, aux = fleet_step_masked(
-                self.params, self.cfg, self.state, staged.pcm_dev,
-                None, None, self.t_ada, collect_topk=topk,
-                stop_at_eos=not self.continuous, wire_packed=True)
-            inflight = {sid: int((staged.forced[sid] >= 0).sum())
-                        for sid in staged.part}
-            if cap is None or steps_done + 1 < cap:
-                self._staged_next = self._stage_sync(inflight)  # overlaps
-            else:
-                self._staged_next = None       # cap reached after this step
+            while (self._staged_next is not None
+                   and len(self._dispatched) < depth
+                   and (cap is None or dispatched < cap)):
+                self._apply_resets()       # queued attach/watchdog resets
+                st = self._staged_next
+                self._staged_next = None
+                if st.dirty:
+                    # a watchdog restart edited the staged rows after their
+                    # wire upload — re-pack and re-upload (rare path)
+                    st.pcm_dev = self._put(
+                        pack_wire(st.pcm_host, st.active, st.forced),
+                        P(DATA, None))
+                    st.dirty = False
+                st.t_dispatch = time.perf_counter()
+                self.state, tokens, aux = fleet_step_masked(
+                    self.params, self.cfg, self.state, st.pcm_dev,
+                    None, None, self.t_ada, collect_topk=topk,
+                    stop_at_eos=not self.continuous, wire_packed=True)
+                st.out = aux["packed"] if topk else tokens
+                self._dispatched.append(st)
+                dispatched += 1
+                if cap is None or dispatched < cap:
+                    # stage the next chunk batch NOW: its upload overlaps
+                    # the running step; forced rows project past every
+                    # in-flight replay so results match the serial order
+                    self._staged_next = self._stage_sync(
+                        self._inflight_replay())
+            # retire the oldest in-flight step
+            staged = self._dispatched.pop(0)
+            self._inflight_sids = set()
+            for g in self._dispatched:
+                self._inflight_sids |= set(g.raw)
+            if self._staged_next is not None:
+                self._inflight_sids |= set(self._staged_next.raw)
             alts = None
             if topk:
                 # ONE download: tokens + best + top-k vals/idx ride a
                 # single packed f32 array (int32 cols as bit patterns)
-                pk = self._fetch(aux["packed"])
+                pk = self._fetch(staged.out)
                 tokens = np.ascontiguousarray(pk[:, :, 0]).view(np.int32)
                 k = self.n_alt - 1
                 alts = (pk[:, :, 2:2 + k],
@@ -397,25 +439,47 @@ class FleetManager:
                         .view(np.int32),
                         pk[:, :, 1])
             else:
-                tokens = self._fetch(tokens)           # wait for the step
-            self._last_step_ms = (time.perf_counter() - t0) * 1e3
-            self.step_ms_total += self._last_step_ms
+                tokens = self._fetch(staged.out)       # wait for the step
+            now = time.perf_counter()
+            self._last_step_ms = (now - staged.t_dispatch) * 1e3
+            # step_ms_total counts NON-overlapping wall time (pipelined
+            # steps' windows overlap: clip each to start at the previous
+            # retire) so poll wall minus it is the true host-side residual
+            self.step_ms_total += (now - max(staged.t_dispatch,
+                                             t_last_retire)) * 1e3
+            t_last_retire = now
             self.steps += 1
             steps_done += 1
             for sid in staged.part:
+                if sid in staged.discard:
+                    continue       # restarted after this row was on device:
+                    # samples were pushed back, tokens are void
                 self.slots[sid].samples_done += staged.pcm_host.shape[1]
                 self._consume(sid, tokens[sid], staged.forced[sid],
                               None if alts is None else
                               (alts[0][sid], alts[1][sid], alts[2][sid]))
-            staged, self._staged_next = self._staged_next, None
-            if cap is not None and steps_done >= cap:
-                break
-            if staged is None:
+            if (self._staged_next is None
+                    and (cap is None or dispatched < cap)):
                 # a restart may have re-buffered samples during consume
-                staged = self._stage_sync({})
+                self._staged_next = self._stage_sync(self._inflight_replay())
         self._apply_resets()   # resets from the final consume (keeps every
         # process's queue drained at the same agreed point)
         return steps_done
+
+    def _inflight_replay(self) -> dict:
+        """sid -> forced-replay tokens already claimed by dispatched,
+        not-yet-retired steps (discarded rows excluded): staging projects
+        the next chunk's forced rows past these so results are identical
+        to the serial order."""
+        out = {}
+        for st in self._dispatched:
+            for sid in st.part:
+                if sid in st.discard:
+                    continue
+                n = int((st.forced[sid] >= 0).sum())
+                if n:
+                    out[sid] = out.get(sid, 0) + n
+        return out
 
     def _any_hosts(self, flags) -> np.ndarray:
         if self._n_procs == 1:
@@ -541,19 +605,34 @@ class FleetManager:
             self._monitor(sid, {"eos": "↺", "kv": "⟳", "streak": "↯",
                                 "full": "⌚"}[trigger]
                           + ("♻" if full else "✂"))
-        # un-stage: a chunk already cut+uploaded for the NEXT step was cut
-        # under pre-restart assumptions (forced rows, audio continuity for
-        # full resets) — push its samples back and mask its row off; it is
-        # re-cut after the reset, restoring the serial order of events
-        nxt = self._staged_next
-        if nxt is not None and sid in nxt.raw:
-            s.buf = np.concatenate([nxt.raw.pop(sid), s.buf])
-            nxt.active[sid] = False
-            nxt.part.remove(sid)
-            nxt.forced[sid] = -1
-            nxt.dirty = True       # wire already uploaded: re-pack at
+        # un-stage: chunks already cut for FUTURE steps were cut under
+        # pre-restart assumptions (forced rows, audio continuity for full
+        # resets) — push their samples back (newest generation first so
+        # chronological order is restored) and mask/discard their rows;
+        # they are re-cut after the reset, restoring the serial order of
+        # events. A generation already DISPATCHED (pipeline_steps > 1)
+        # cannot be edited on the device: its tokens for this stream are
+        # dropped at retire and the queued reset erases its state writes.
+        gens = list(self._dispatched)
+        if self._staged_next is not None:
+            gens.append(self._staged_next)
+        for g in reversed(gens):
+            if sid not in g.raw:
+                continue
+            s.buf = np.concatenate([g.raw.pop(sid), s.buf])
+            if g.out is not None:          # dispatched: discard at retire
+                g.discard.add(sid)
+                continue
+            g.active[sid] = False
+            g.part.remove(sid)
+            g.forced[sid] = -1
+            g.dirty = True       # wire already uploaded: re-pack at
             # dispatch (poll) so the device sees the edited rows
-            if not nxt.part:
+            if not g.part and self._n_procs == 1:
+                # multi-host keeps an empty-part staged: the step is
+                # GLOBAL (other hosts' rows may participate), and nulling
+                # on one host only would desync the agreed collective
+                # call sequence across processes
                 self._staged_next = None
         self._queue_reset(sid, full=full)
         s.replay_left = self.prompt_len - 1
@@ -631,8 +710,7 @@ class FleetManager:
             self._mon_decode(sid, s, n_steps, n_text, n_control, n_invalid,
                              eos_step)
         s.replay_left -= replay_used
-        in_flight = (self._staged_next is not None
-                     and sid in self._staged_next.raw)
+        in_flight = sid in self._inflight_sids
         if not self.continuous:
             if restart == "eos":
                 # the device-side `done` flag (stop_at_eos=True) already
