@@ -92,6 +92,7 @@ def main():
     pid, nprocs, port, outfile = (int(sys.argv[1]), int(sys.argv[2]),
                                   int(sys.argv[3]), sys.argv[4])
     mode = sys.argv[5] if len(sys.argv) > 5 else "basic"
+    pipeline = int(sys.argv[6]) if len(sys.argv) > 6 else 1
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + " --xla_force_host_platform_device_count=2")
@@ -112,7 +113,7 @@ def main():
 
     with FleetManager(params, cfg, batch=BATCH, chunk_tokens=8,
                       dec_ring=256, continuous=True, kv_dtype="int8",
-                      mesh=mesh) as mgr:
+                      mesh=mesh, pipeline_steps=pipeline) as mgr:
         if mode == "churn":
             out = churn_flow(mgr, np, any_across_hosts)
         else:

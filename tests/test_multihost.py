@@ -75,13 +75,16 @@ def test_two_process_dp_matches_single_process(tmp_path):
         assert got[g] == want[g], f"stream {g}: multihost tokens diverge"
 
 
-def test_two_process_asymmetric_churn_matches_solo(tmp_path):
+@pytest.mark.parametrize("pipeline", [1, 2])
+def test_two_process_asymmetric_churn_matches_solo(tmp_path, pipeline):
     """Slot churn on ONE host of a 2-process DP fleet (finish -> detach ->
     attach a new stream into the reused slot) while the other host's rows
     keep feeding live audio: the deferred-reset agreement and forced-replay
     projection must keep every process's compiled-call sequence in lockstep,
     and every stream — original, reborn, and the siblings that lived through
-    the churn — must match its solo single-process run exactly."""
+    the churn — must match its solo single-process run exactly. Runs in
+    both serial and pipelined (pipeline_steps=2) poll modes: the agreed
+    collective sequence must survive pipelining + asymmetric churn."""
     cfg = tiny_config()
     params = random_params(cfg, seed=0)
 
@@ -109,7 +112,8 @@ def test_two_process_asymmetric_churn_matches_solo(tmp_path):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(p), "2", str(port), outs[p], "churn"],
+        [sys.executable, worker, str(p), "2", str(port), outs[p], "churn",
+         str(pipeline)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
         for p in range(2)]
     logs = [p.communicate(timeout=840) for p in procs]
