@@ -47,9 +47,9 @@ Env: VOX_SOAK_STREAMS=40 VOX_SOAK_SECONDS=300 VOX_SOAK_MIN_S=20
      VOX_SOAK_CAP=-1 (max device steps per poll; -1 = DEPTH, 0 = uncapped)
      VOX_SOAK_WIRE=f32 (s16 halves bytes but measured slower on this
                         tunnel — SPEED.md serving-path entry)
-     VOX_SOAK_PIPE=1 (FleetManager pipeline_steps: 2 dispatches step k+1
+     VOX_SOAK_PIPE=2 (FleetManager pipeline_steps: 2 dispatches step k+1
                       before fetching step k's tokens, hiding the per-step
-                      host sync — throughput mode)
+                      host sync — +2.5-3% measured; 1 = serial order)
      VOX_SOAK_ALT=0 (n_alt-1; >0 adds the packed top-k download)
      VOX_SOAK_PHASES=1: report the wall-time split (feed / device steps /
                         stage-entry uploads / resets / rest-of-poll)
@@ -82,7 +82,7 @@ DEPTH = int(os.environ.get("VOX_SOAK_DEPTH", "4"))
 _cap = int(os.environ.get("VOX_SOAK_CAP", "-1"))
 CAP = DEPTH if _cap < 0 else (_cap or None)
 WIRE = os.environ.get("VOX_SOAK_WIRE", "f32")
-PIPE = int(os.environ.get("VOX_SOAK_PIPE", "1"))
+PIPE = int(os.environ.get("VOX_SOAK_PIPE", "2"))
 ALT = int(os.environ.get("VOX_SOAK_ALT", "0"))
 PHASES = os.environ.get("VOX_SOAK_PHASES", "0") == "1"
 
