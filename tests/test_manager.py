@@ -739,3 +739,26 @@ def test_restart_keeps_empty_staged_multiproc(tiny_cfg, tiny_params,
         mgr.poll()
     assert mgr.slots[sid].restarts > 0
     assert mgr.slots[sid].generated > 0            # recovered and decoding
+
+
+def test_pipelined_noncontinuous_finish_matches_batch(tiny_cfg, tiny_params):
+    """Non-continuous + pipeline_steps=2: device-side EOS freezing, the
+    finish() right-pad schedule, and the in-flight finish check (which now
+    spans dispatched steps, not just the pending staged batch) must still
+    reproduce the batch pipeline's tokens exactly."""
+    from voxtral_tpu.models.pipeline import transcribe_tokens_batch
+    audio = _audio(9, seconds=2.7)    # deliberately not chunk-aligned
+    want = [int(t) for t in
+            transcribe_tokens_batch(tiny_params, tiny_cfg, audio)[0]]
+
+    mgr = FleetManager(tiny_params, tiny_cfg, batch=2, chunk_tokens=8,
+                       dec_ring=256, continuous=False, pipeline_steps=2)
+    sid = mgr.attach()
+    mgr.feed(sid, audio)
+    mgr.finish(sid)
+    for _ in range(64):
+        if mgr.is_finished(sid):
+            break
+        mgr.poll()
+    assert mgr.is_finished(sid)
+    assert list(mgr.slots[sid].all_ids) == want
